@@ -1,0 +1,82 @@
+"""Benchmark: forward render throughput (rays/s) on the lego scene.
+
+Headline config is the BASELINE.json north-star workload: 800x800 image,
+64 coarse + 128 fine samples/ray, hierarchical coarse/fine pipeline on
+however many chips are visible. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+vs_baseline is value / 10e6 — the 10M rays/s/chip north-star target
+(the reference itself publishes no numbers, BASELINE.md).
+
+Env knobs: NERF_BENCH_SIZE (default 800), NERF_BENCH_IMPL (xla|pallas),
+NERF_BENCH_DTYPE (float32|bfloat16), NERF_BENCH_REPEATS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+
+    from nerf_rs_tpu.config import RenderConfig
+    from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
+    from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
+    from nerf_rs_tpu.render import render_image
+
+    size = int(os.environ.get("NERF_BENCH_SIZE", "800"))
+    impl = os.environ.get("NERF_BENCH_IMPL", "pallas")
+    dtype = os.environ.get("NERF_BENCH_DTYPE", "float32")
+    repeats = int(os.environ.get("NERF_BENCH_REPEATS", "3"))
+
+    try:
+        if impl == "pallas":
+            from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp  # noqa: F401
+    except Exception:
+        impl = "xla"
+
+    cfg = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=16384, impl=impl, dtype=dtype)
+
+    assets = find_lego_assets()
+    if assets is None:
+        print(json.dumps({"metric": "rays/s fwd lego", "value": 0.0, "unit": "rays/s",
+                          "vs_baseline": 0.0, "error": "assets missing"}))
+        return
+    params_c = load_nerf_params(assets / "coarse")
+    params_f = load_nerf_params(assets / "fine")
+    camera = camera_from_golden(load_golden(assets / "tf_reference_samples.json"))
+
+    import numpy as np
+
+    key = jax.random.key(0)
+    # Warmup / compile. Force a host transfer: on the tunneled 'axon'
+    # platform block_until_ready returns before execution completes.
+    img = render_image(params_c, params_f, camera, size, size, key, cfg)
+    np.asarray(img)
+
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        img = render_image(params_c, params_f, camera, size, size, jax.random.fold_in(key, i), cfg)
+        np.asarray(img)
+        times.append(time.perf_counter() - t0)
+
+    n_rays = size * size
+    best = min(times)
+    rays_per_s = n_rays / best
+    n_chips = jax.device_count()
+    result = {
+        "metric": f"fwd render rays/s, lego {size}x{size} 64+128 samples, "
+                  f"{impl}/{dtype}, {n_chips} chip(s)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / (n_chips * 10_000_000.0), 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

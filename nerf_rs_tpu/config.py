@@ -1,0 +1,61 @@
+"""Static configuration dataclasses.
+
+The reference hardcodes every constant (image 256x256 at lib.rs:657-658,
+sample counts lib.rs:603-612, block size 8 lib.rs:491, encoding orders 10/4
+network.rs:204,219, early-out threshold 1e-4 lib.rs:276, PDF epsilon 1e-5
+lib.rs:309, CDF denom clamp 1e-6 lib.rs:343). Here they live in frozen
+(hashable -> jit-static) dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static knobs for the render pipeline.
+
+    Defaults replicate the reference native CLI config
+    (/root/reference/src/lib.rs:603-612,656-658).
+    """
+
+    n_coarse: int = 64          # coarse stratified samples per ray
+    n_fine: int = 128           # fine importance samples per ray
+    x_freqs: int = 10           # positional encoding bands for points (network.rs:204)
+    d_freqs: int = 4            # positional encoding bands for view dirs (network.rs:219)
+    white_background: bool = True   # lib.rs:194
+    t_threshold: float = 1e-4   # transmittance early-out (lib.rs:276); 0 disables
+    pdf_eps: float = 1e-5       # importance-PDF floor (lib.rs:309)
+    cdf_eps: float = 1e-6       # CDF denom clamp (lib.rs:343)
+    ray_chunk: int = 8192       # rays per lax.map chunk when rendering images
+    impl: str = "xla"           # MLP implementation: "xla" | "pallas"
+    dtype: str = "float32"      # compute dtype for the MLP: "float32" | "bfloat16"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (the reference has no training; these follow
+    the original NeRF recipe: Adam 5e-4 with exponential decay to 5e-6)."""
+
+    batch_rays: int = 4096
+    lr_init: float = 5e-4
+    lr_final: float = 5e-6
+    lr_decay_steps: int = 250_000
+    n_steps: int = 200_000
+    coarse_loss_weight: float = 1.0
+    checkpoint_every: int = 10_000
+    seed: int = 0
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Reference sample-count presets (lib.rs:603-612).
+NATIVE_SAMPLES = (64, 128)
+WASM_SAMPLES = (32, 64)

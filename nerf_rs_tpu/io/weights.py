@@ -1,0 +1,174 @@
+"""Checkpoint I/O for the reference `.bin` weight format.
+
+The reference stores each network as a directory of raw little-endian f32
+row-major tensors plus a ``shapes.txt`` manifest (one ``name dim0 [dim1]``
+per line) — loader at /root/reference/src/lib.rs:34-174, format doc at
+lego_rust/README.md:23-36.  Here the same format round-trips to/from a JAX
+param pytree ``{layer: {"kernel": (in, out), "bias": (out,)}}``.
+
+Kernels are stored ``(input_dim, output_dim)`` row-major, so the forward is
+``x @ kernel + bias`` with ``x`` laid out ``(batch, features)`` — the same
+math as the reference's transposed GEMM on ``(features, batch)`` activations
+(network.rs:90-122), but in the batch-major layout XLA/MXU prefers.
+
+When the optional C++ fast-IO extension is built (csrc/nerf_io.cpp), bulk
+tensor reads go through it; otherwise numpy.fromfile is used.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# Fixed inventory of the NeRF MLP's parameters (lego_rust/*/shapes.txt).
+LAYER_NAMES: Tuple[str, ...] = (
+    "dense0",
+    "dense1",
+    "dense2",
+    "dense3",
+    "dense4",
+    "dense5",
+    "dense6",
+    "dense7",
+    "bottleneck",
+    "viewdirs",
+    "rgb",
+    "alpha",
+)
+
+# Canonical shapes for the lego architecture (coarse and fine are identical):
+# dense0 63x256, dense1-4 256x256, dense5 319x256 (skip), dense6-7 256x256,
+# bottleneck 256x256, viewdirs 283x128, rgb 128x3, alpha 256x1.
+CANONICAL_SHAPES: Dict[str, Tuple[int, int]] = {
+    "dense0": (63, 256),
+    "dense1": (256, 256),
+    "dense2": (256, 256),
+    "dense3": (256, 256),
+    "dense4": (256, 256),
+    "dense5": (319, 256),
+    "dense6": (256, 256),
+    "dense7": (256, 256),
+    "bottleneck": (256, 256),
+    "viewdirs": (283, 128),
+    "rgb": (128, 3),
+    "alpha": (256, 1),
+}
+
+ASSET_ENV_VAR = "NERF_RS_TPU_ASSETS"
+_DEFAULT_ASSET_DIRS = (
+    "/root/reference/lego_rust",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "assets", "lego_rust"),
+)
+
+
+def find_lego_assets() -> Optional[Path]:
+    """Locate the pretrained lego weight bundle (coarse/ + fine/ + golden JSON).
+
+    Search order: $NERF_RS_TPU_ASSETS, the mounted reference assets, then a
+    repo-local ``assets/lego_rust``. Returns None when unavailable so tests
+    can skip gracefully.
+    """
+    candidates = []
+    if os.environ.get(ASSET_ENV_VAR):
+        candidates.append(os.environ[ASSET_ENV_VAR])
+    candidates.extend(_DEFAULT_ASSET_DIRS)
+    for cand in candidates:
+        p = Path(cand)
+        if (p / "coarse" / "shapes.txt").exists() and (p / "fine" / "shapes.txt").exists():
+            return p
+    return None
+
+
+def read_shapes(path: Path) -> List[Tuple[str, Tuple[int, ...]]]:
+    """Parse a ``shapes.txt`` manifest (name followed by dims, whitespace-split)."""
+    entries: List[Tuple[str, Tuple[int, ...]]] = []
+    for line in path.read_text().splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        entries.append((parts[0], tuple(int(d) for d in parts[1:])))
+    return entries
+
+
+def _read_tensor_numpy(path: Path, dims: Tuple[int, ...]) -> np.ndarray:
+    arr = np.fromfile(path, dtype="<f4")
+    expected = int(np.prod(dims)) if dims else arr.size
+    if arr.size != expected:
+        raise ValueError(f"{path}: expected {expected} f32 values, got {arr.size}")
+    return arr.reshape(dims)
+
+
+def _read_tensor(path: Path, dims: Tuple[int, ...]) -> np.ndarray:
+    try:
+        from nerf_rs_tpu.io import native  # optional C++ fast path
+
+        if native.available():
+            return native.read_tensor_f32(str(path), dims)
+    except Exception:
+        pass
+    return _read_tensor_numpy(path, dims)
+
+
+def load_raw_params(directory: os.PathLike) -> Dict[str, np.ndarray]:
+    """Load every tensor named in ``shapes.txt`` from ``directory``."""
+    directory = Path(directory)
+    out: Dict[str, np.ndarray] = {}
+    for name, dims in read_shapes(directory / "shapes.txt"):
+        out[name] = _read_tensor(directory / f"{name}.bin", dims)
+    return out
+
+
+def load_nerf_params(directory: os.PathLike, dtype=np.float32) -> Dict[str, Dict[str, np.ndarray]]:
+    """Assemble the param pytree from a reference-format weight directory.
+
+    Mirrors the fixed name list of the reference loader (lib.rs:133-169) and
+    its "no unused parameters" check (lib.rs:171).
+    """
+    raw = load_raw_params(directory)
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for layer in LAYER_NAMES:
+        kernel = raw.pop(f"{layer}_kernel")
+        bias = raw.pop(f"{layer}_bias")
+        if kernel.ndim != 2:
+            raise ValueError(f"{layer}_kernel must be rank-2, got {kernel.shape}")
+        if bias.shape != (kernel.shape[1],):
+            raise ValueError(
+                f"{layer}_bias shape {bias.shape} does not match kernel {kernel.shape}"
+            )
+        params[layer] = {
+            "kernel": kernel.astype(dtype),
+            "bias": bias.astype(dtype),
+        }
+    if raw:
+        raise ValueError(f"unused parameters left after load: {sorted(raw)}")
+    return params
+
+
+def save_nerf_params(directory: os.PathLike, params) -> None:
+    """Write a param pytree back out in the reference `.bin` + shapes.txt format,
+    so checkpoints trained here load in the reference renderer unchanged."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for layer in LAYER_NAMES:
+        kernel = np.asarray(params[layer]["kernel"], dtype="<f4")
+        bias = np.asarray(params[layer]["bias"], dtype="<f4")
+        kernel.tofile(directory / f"{layer}_kernel.bin")
+        bias.tofile(directory / f"{layer}_bias.bin")
+        lines.append(f"{layer}_kernel {kernel.shape[0]} {kernel.shape[1]}")
+        lines.append(f"{layer}_bias {bias.shape[0]}")
+    (directory / "shapes.txt").write_text("\n".join(lines) + "\n")
+
+
+def validate_param_shapes(params) -> None:
+    """Assert the pytree matches the canonical lego architecture."""
+    for layer, (d_in, d_out) in CANONICAL_SHAPES.items():
+        k = params[layer]["kernel"]
+        b = params[layer]["bias"]
+        if tuple(k.shape) != (d_in, d_out):
+            raise ValueError(f"{layer}.kernel: expected {(d_in, d_out)}, got {tuple(k.shape)}")
+        if tuple(b.shape) != (d_out,):
+            raise ValueError(f"{layer}.bias: expected {(d_out,)}, got {tuple(b.shape)}")

@@ -1,0 +1,89 @@
+"""Ray sampling: stratified bins and hierarchical inverse-CDF resampling.
+
+TPU-first redesign of the reference's per-ray scalar loops into fixed-shape
+batched array programs with counter-based `jax.random` keys (deterministic,
+device-resident — unlike the reference's OS-seeded per-thread `thread_rng`,
+lib.rs:375,407).
+
+Numerical contracts from the reference:
+- stratified_samples (/root/reference/src/lib.rs:233-248): [near, far] split
+  into `count` equal bins, one uniform jittered sample per bin.
+- sample_importance (lib.rs:285-351): PDF from the *interior* coarse weights
+  weights[1..n-1], bins are midpoints of the coarse t-values, weights clamped
+  >= 0 plus 1e-5 then normalized, CDF's final entry forced to 1.0, bin lookup
+  is "first j with cdf[j] <= u < cdf[j+1]", linear interpolation inside the
+  bin with the denominator clamped to 1e-6. Fine samples are merged with the
+  coarse ones and sorted by the caller (lib.rs:416-419).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_samples(
+    key: jax.Array,
+    near,
+    far,
+    count: int,
+    batch_shape: tuple = (),
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Jittered equal-bin samples of [near, far] -> (*batch_shape, count)."""
+    u = jax.random.uniform(key, (*batch_shape, count), dtype=dtype)
+    interval = (far - near) / count
+    lower = near + jnp.arange(count, dtype=dtype) * interval
+    return lower + interval * u
+
+
+def importance_samples(
+    key: jax.Array,
+    ts: jnp.ndarray,
+    weights: jnp.ndarray,
+    count: int,
+    *,
+    pdf_eps: float = 1e-5,
+    cdf_eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Inverse-CDF resampling of ``count`` new t's per ray.
+
+    ts: (..., Nc) sorted sample positions; weights: (..., Nc) transmittance
+    weights. Requires Nc >= 3 (the reference returns empty below that,
+    lib.rs:295; with fixed shapes we assert instead). Returns (..., count),
+    NOT sorted (sorting happens at merge, like the reference).
+
+    The zero-PDF-mass guard (lib.rs:311) is unreachable: the +pdf_eps floor
+    makes every bin strictly positive.
+    """
+    n_c = ts.shape[-1]
+    if n_c < 3:
+        raise ValueError(f"importance sampling requires >= 3 coarse samples, got {n_c}")
+
+    bins = 0.5 * (ts[..., 1:] + ts[..., :-1])          # (..., Nc-1) midpoints
+    pdf_w = jnp.maximum(weights[..., 1:-1], 0.0) + pdf_eps  # (..., Nc-2) interior
+    pdf = pdf_w / jnp.sum(pdf_w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf[..., :-1],
+                           jnp.ones_like(cdf[..., :1])], axis=-1)  # (..., Nc-1), last forced to 1
+
+    u = jax.random.uniform(key, (*ts.shape[:-1], count), dtype=ts.dtype)
+
+    # Bin index: count of cdf entries <= u, minus one == searchsorted 'right' - 1.
+    # cdf is strictly increasing (pdf >= pdf_eps/sum > 0) so this matches the
+    # reference's linear scan exactly. O(Nf * Nc) compares — vector-unit cheap.
+    idx = jnp.sum(u[..., :, None] >= cdf[..., None, :], axis=-1) - 1
+    idx = jnp.clip(idx, 0, n_c - 3)
+
+    cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, idx, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, idx + 1, axis=-1)
+    frac = (u - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, cdf_eps)
+    return bin_lo + (bin_hi - bin_lo) * frac
+
+
+def merge_samples(t_coarse: jnp.ndarray, t_fine: jnp.ndarray) -> jnp.ndarray:
+    """Merge coarse + fine t's and sort ascending (lib.rs:416-419). Fixed
+    output width Nc + Nf — per-ray variable Vecs become one static shape."""
+    return jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)

@@ -1,0 +1,79 @@
+"""Volumetric integration: transmittance weights and alpha compositing.
+
+The reference computes weights with a sequential per-ray loop plus a
+data-dependent early-out (compute_weights, /root/reference/src/lib.rs:250-283):
+
+    delta_i = t[i+1] - t[i]   (last: far - t[n-1]), clamped >= 0
+    alpha_i = 1 - exp(-sigma_i * delta_i)
+    w_i     = T_i * alpha_i;  T <- T * (1 - alpha_i)
+    break once T < 1e-4, zero-filling the remaining weights.
+
+TPU-first form: the recurrence is a product scan. With sigma >= 0 (ReLU head)
+and delta >= 0, T is monotone non-increasing, so "some earlier break happened
+before index k" is exactly "T_k < 1e-4" — the early-out becomes a single
+elementwise mask on the exclusive cumulative product. Mathematically equal to
+the reference loop, fixed-shape, batched over rays, and differentiable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sample_deltas(ts: jnp.ndarray, far) -> jnp.ndarray:
+    """delta_i = t_{i+1} - t_i with final delta far - t_{n-1}, clamped >= 0."""
+    last = far - ts[..., -1:]
+    deltas = jnp.concatenate([ts[..., 1:] - ts[..., :-1], last], axis=-1)
+    return jnp.maximum(deltas, 0.0)
+
+
+def compute_weights(
+    sigmas: jnp.ndarray,
+    ts: jnp.ndarray,
+    far,
+    *,
+    t_threshold: float = 1e-4,
+) -> jnp.ndarray:
+    """Transmittance weights (..., S) for sigmas/ts of shape (..., S).
+
+    ``t_threshold`` replicates the reference's T < 1e-4 early-out as a mask;
+    pass 0.0 to disable (standard differentiable NeRF behavior).
+    """
+    deltas = sample_deltas(ts, far)
+    alpha = 1.0 - jnp.exp(-sigmas * deltas)
+    # Exclusive cumulative product: T_k = prod_{j<k} (1 - alpha_j).
+    trans = jnp.cumprod(1.0 - alpha, axis=-1)
+    t_excl = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    weights = t_excl * alpha
+    if t_threshold > 0.0:
+        weights = jnp.where(t_excl >= t_threshold, weights, 0.0)
+    return weights
+
+
+def composite(
+    colors: jnp.ndarray,
+    weights: jnp.ndarray,
+    *,
+    white_background: bool = True,
+) -> jnp.ndarray:
+    """rgb = sum_i w_i c_i, plus (1 - sum w) * white when compositing onto a
+    white background (integrate_ray, lib.rs:176-195)."""
+    rgb = jnp.sum(weights[..., None] * colors, axis=-2)
+    if white_background:
+        acc = jnp.sum(weights, axis=-1)
+        rgb = rgb + (1.0 - acc)[..., None]
+    return rgb
+
+
+def integrate(
+    colors: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    ts: jnp.ndarray,
+    far,
+    *,
+    t_threshold: float = 1e-4,
+    white_background: bool = True,
+) -> jnp.ndarray:
+    """Fused weights + composite, the reference's integrate_ray on arrays."""
+    w = compute_weights(sigmas, ts, far, t_threshold=t_threshold)
+    return composite(colors, w, white_background=white_background)

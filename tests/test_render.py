@@ -1,0 +1,85 @@
+"""End-to-end render tests: small lego frames on CPU, checked for sanity and
+against a downsample of the reference's committed output.ppm (perceptual
+anchor — the reference's thread_rng renders are not bitwise reproducible,
+SURVEY.md §7 "Hard parts")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_rs_tpu.config import RenderConfig
+from nerf_rs_tpu.io.golden import camera_from_golden
+from nerf_rs_tpu.io.image import load_ppm
+from nerf_rs_tpu.ops.rays import camera_rays
+from nerf_rs_tpu.render import render_image, render_rays
+
+SMALL_CFG = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=1024)
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2)
+    return -10.0 * np.log10(max(mse, 1e-10))
+
+
+def test_camera_matches_golden_ray(golden):
+    """Pixel (200,200) of the 400x400 golden camera reproduces the example
+    ray direction (the JSON's examples carry ray_d per pixel)."""
+    cam = camera_from_golden(golden)
+    _, dirs = camera_rays(cam, 400, 400)
+    for ex in golden["examples"]:
+        i, j = ex["pixel"]
+        got = np.asarray(dirs[i, j])
+        want = np.asarray(ex["viewdir_unit"], np.float32)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_render_rays_shapes_and_range(lego_params, golden):
+    cam = camera_from_golden(golden)
+    _, dirs = camera_rays(cam, 16, 16)
+    rgb, aux = render_rays(
+        lego_params["coarse"], lego_params["fine"],
+        jnp.asarray(cam.position), dirs.reshape(-1, 3),
+        cam.near, cam.far, jax.random.key(0), SMALL_CFG, return_aux=True,
+    )
+    assert rgb.shape == (256, 3)
+    assert np.all(np.isfinite(rgb))
+    # white background + sigmoid colors => [0, 1+eps]
+    assert float(jnp.min(rgb)) >= 0.0 and float(jnp.max(rgb)) <= 1.0 + 1e-4
+    assert aux["rgb_coarse"].shape == (256, 3)
+    assert aux["t_fine"].shape == (256, SMALL_CFG.n_coarse + SMALL_CFG.n_fine)
+    # merged t's sorted
+    assert np.all(np.diff(np.asarray(aux["t_fine"]), axis=-1) >= 0)
+
+
+def test_render_image_vs_reference_ppm(lego_params, golden):
+    """64x64 quick render vs the committed 512x512 reference render,
+    box-downsampled — a coarse perceptual anchor only: output.ppm is from an
+    earlier reference config with a visibly different zoom (SURVEY.md §6), so
+    the bar is low (random images score ~7-8 dB, correct renders ~15+). The
+    strict numerics anchor is test_golden.py."""
+    ref_path = "/root/reference/output.ppm"
+    import os
+
+    if not os.path.exists(ref_path):
+        pytest.skip("reference output.ppm unavailable")
+    cam = camera_from_golden(golden)
+    img = render_image(
+        lego_params["coarse"], lego_params["fine"], cam, 64, 64,
+        jax.random.key(0), SMALL_CFG,
+    )
+    ref = load_ppm(ref_path)  # (512, 512, 3)
+    ref64 = ref.reshape(64, 8, 64, 8, 3).mean(axis=(1, 3))
+    score = psnr(img, ref64)
+    assert score > 14.0, f"PSNR vs reference render too low: {score:.2f} dB"
+
+
+def test_render_deterministic(lego_params, golden):
+    """Counter-based keys => bitwise reproducible renders (unlike the
+    reference's thread_rng)."""
+    cam = camera_from_golden(golden)
+    img1 = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+                        jax.random.key(5), SMALL_CFG)
+    img2 = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+                        jax.random.key(5), SMALL_CFG)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
