@@ -1,0 +1,97 @@
+"""Fused Pallas MLP kernel vs the pure-JAX oracle (interpret mode on CPU;
+the same kernel compiles via Mosaic on real TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_rs_tpu.models.mlp import init_nerf_params, nerf_mlp
+from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp, pack_params
+
+
+def _rand_inputs(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-4, 4, size=(n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return jnp.asarray(pts), jnp.asarray(dirs)
+
+
+@pytest.fixture(scope="module")
+def rand_params():
+    return init_nerf_params(jax.random.key(0))
+
+
+def test_fused_matches_oracle_random_params(rand_params):
+    pts, dirs = _rand_inputs(96)
+    rgb_o, sig_o = nerf_mlp(rand_params, pts, dirs)
+    rgb_k, sig_k = fused_nerf_mlp(rand_params, pts, dirs)
+    np.testing.assert_allclose(rgb_k, rgb_o, atol=1e-5)
+    np.testing.assert_allclose(sig_k, sig_o, atol=1e-4, rtol=1e-5)
+
+
+def test_fused_matches_oracle_lego(lego_params):
+    pts, dirs = _rand_inputs(64, seed=1)
+    for net in ("coarse", "fine"):
+        rgb_o, sig_o = nerf_mlp(lego_params[net], pts, dirs)
+        rgb_k, sig_k = fused_nerf_mlp(lego_params[net], pts, dirs)
+        np.testing.assert_allclose(rgb_k, rgb_o, atol=1e-5)
+        np.testing.assert_allclose(sig_k, sig_o, atol=1e-3, rtol=1e-5)
+
+
+def test_fused_golden(lego_params, golden):
+    """The kernel itself meets the reference's 1e-2 TF-golden tolerance."""
+    from nerf_rs_tpu.io.golden import golden_examples
+
+    for ex in golden_examples(golden):
+        pts = ex["ray_o"][None] + ex["ray_d"][None] * ex["z_vals"][:, None]
+        dirs = np.broadcast_to(ex["viewdir_unit"], pts.shape)
+        rgb, sigma = fused_nerf_mlp(lego_params["coarse"], jnp.asarray(pts), jnp.asarray(dirs))
+        np.testing.assert_allclose(sigma, ex["coarse_sigma"], atol=1e-2)
+        np.testing.assert_allclose(rgb, ex["coarse_rgb"], atol=1e-2)
+
+
+def test_fused_batch_shapes(rand_params):
+    """Arbitrary leading shapes + broadcasting viewdirs like the oracle."""
+    pts, dirs = _rand_inputs(60)
+    pts3 = pts.reshape(5, 12, 3)
+    dirs3 = dirs.reshape(5, 12, 3)[:, :1, :]  # one dir per ray, broadcast over samples
+    rgb_b, sig_b = fused_nerf_mlp(rand_params, pts3, dirs3)
+    assert rgb_b.shape == (5, 12, 3) and sig_b.shape == (5, 12)
+    rgb_o, sig_o = nerf_mlp(rand_params, pts3, dirs3)
+    np.testing.assert_allclose(rgb_b, rgb_o, atol=1e-5)
+    np.testing.assert_allclose(sig_b, sig_o, atol=1e-4, rtol=1e-5)
+
+
+def test_fused_grads_match_oracle(rand_params):
+    """Custom VJP (oracle-rematerialized backward) == autodiff of the oracle."""
+    pts, dirs = _rand_inputs(32)
+
+    def loss_fused(p):
+        rgb, sigma = fused_nerf_mlp(p, pts, dirs)
+        return jnp.mean(rgb) + 1e-3 * jnp.mean(sigma)
+
+    def loss_oracle(p):
+        rgb, sigma = nerf_mlp(p, pts, dirs)
+        return jnp.mean(rgb) + 1e-3 * jnp.mean(sigma)
+
+    g_f = jax.grad(loss_fused)(rand_params)
+    g_o = jax.grad(loss_oracle)(rand_params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_o)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4)
+
+
+def test_pack_params_shapes(rand_params):
+    packed = pack_params(rand_params, 10, 4, jnp.float32)
+    gp, gd = packed[0], packed[1]
+    assert gp.shape == (128, 128) and gd.shape == (128, 128)
+    biases = packed[-1]
+    assert biases.shape == (11, 256)
+    # encoding projection sanity: x @ gp reproduces freq*coord lanes
+    x = np.zeros((8, 128), np.float32)
+    x[:, :3] = [[0.1, -0.2, 0.3]] * 8
+    raw = x @ np.asarray(gp)
+    np.testing.assert_allclose(raw[0, :3], [0.1, -0.2, 0.3], atol=1e-7)
+    np.testing.assert_allclose(raw[0, 3:9], [0.1, -0.2, 0.3, 0.1, -0.2, 0.3], atol=1e-7)
+    np.testing.assert_allclose(raw[0, 9:12], [0.2, -0.4, 0.6], atol=1e-7)  # band 1 = 2x
