@@ -1,0 +1,68 @@
+"""Embedder-facing API mirroring the reference's wasm surface.
+
+The reference exposes ``init_renderer()`` + ``render_image_rgba(width,
+height)`` to JavaScript with networks cached in OnceCell statics
+(/root/reference/src/lib.rs:679-726). This module is the TPU-native
+equivalent for Python embedders (and the HTTP viewer in serve.py): cached
+networks, validated dimensions, flat RGBA u8 output with A=255.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from nerf_rs_tpu.config import RenderConfig
+
+_lock = threading.Lock()
+_state: dict = {}
+
+
+def init_renderer(assets_dir: Optional[str] = None,
+                  cfg: Optional[RenderConfig] = None) -> None:
+    """Load and cache the coarse/fine networks and camera (idempotent)."""
+    from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
+    from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
+
+    with _lock:
+        if _state.get("ready") and assets_dir is None and cfg is None:
+            return
+        assets = assets_dir or find_lego_assets()
+        if assets is None:
+            raise FileNotFoundError(
+                "no weight assets found; pass assets_dir or set $NERF_RS_TPU_ASSETS"
+            )
+        from pathlib import Path
+
+        assets = Path(assets)
+        _state["params"] = {
+            "coarse": load_nerf_params(assets / "coarse"),
+            "fine": load_nerf_params(assets / "fine"),
+        }
+        _state["camera"] = camera_from_golden(
+            load_golden(assets / "tf_reference_samples.json")
+        )
+        # Reference wasm used reduced sample counts (32, 64) for interactive
+        # latency (lib.rs:604-607); on TPU the full counts stay interactive.
+        _state["cfg"] = cfg or RenderConfig(ray_chunk=16384)
+        _state["ready"] = True
+
+
+def render_image_rgba(width: int, height: int, seed: int = 0) -> np.ndarray:
+    """Render and return a flat (H*W*4,) u8 RGBA buffer (A=255), matching the
+    reference's JS-facing contract (lib.rs:702-726)."""
+    import jax
+
+    from nerf_rs_tpu.io.image import pixels_to_rgba
+    from nerf_rs_tpu.render import render_image
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be greater than zero")
+    init_renderer()
+    img = render_image(
+        _state["params"]["coarse"], _state["params"]["fine"], _state["camera"],
+        height, width, jax.random.key(seed), _state["cfg"],
+    )
+    return pixels_to_rgba(np.asarray(img))

@@ -1,0 +1,287 @@
+"""Command-line front-end.
+
+TPU-native replacement for the reference's front-ends (render_cli_image,
+/root/reference/src/lib.rs:647-677, and the wasm render_image_rgba entry,
+lib.rs:700-726) — everything the reference hardcodes is a flag here.
+
+    python -m nerf_rs_tpu render --width 800 --height 800 -o out.png
+    python -m nerf_rs_tpu benchmark --size 800
+    python -m nerf_rs_tpu verify
+    python -m nerf_rs_tpu train --distill --steps 500
+    python -m nerf_rs_tpu export --checkpoint ckpts/step_00000500 -o weights/
+    python -m nerf_rs_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def _load_scene(args):
+    from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
+    from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
+
+    assets = Path(args.weights) if getattr(args, "weights", None) else find_lego_assets()
+    if assets is None:
+        sys.exit("error: no weight assets found (set --weights or $NERF_RS_TPU_ASSETS)")
+    params = {
+        "coarse": load_nerf_params(assets / "coarse"),
+        "fine": load_nerf_params(assets / "fine"),
+    }
+    camera_json = Path(args.camera) if getattr(args, "camera", None) else (
+        assets / "tf_reference_samples.json"
+    )
+    camera = camera_from_golden(load_golden(camera_json))
+    return params, camera
+
+
+def _render_config(args):
+    from nerf_rs_tpu.config import RenderConfig
+
+    return RenderConfig(
+        n_coarse=args.coarse_samples,
+        n_fine=args.fine_samples,
+        ray_chunk=args.ray_chunk,
+        impl=args.impl,
+        dtype=args.dtype,
+    )
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from nerf_rs_tpu.io.image import save_png, save_ppm
+    from nerf_rs_tpu.render import render_image
+
+    params, camera = _load_scene(args)
+    cfg = _render_config(args)
+    print(f"Rendering {args.width}x{args.height} with {cfg.n_coarse} coarse and "
+          f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
+    t0 = time.perf_counter()
+    img = render_image(params["coarse"], params["fine"], camera,
+                       args.height, args.width, jax.random.key(args.seed), cfg)
+    img = np.asarray(img)
+    dt = time.perf_counter() - t0
+    rays = args.width * args.height
+    print(f"Rendering completed in {dt:.2f} seconds ({rays / dt:,.0f} rays/s, "
+          f"includes compile on first run)")
+    out = Path(args.output)
+    if out.suffix.lower() == ".ppm":
+        save_ppm(out, img, args.height, args.width)
+    else:
+        save_png(out, img, args.height, args.width)
+    print(f"Wrote {out}")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import os
+
+    os.environ["NERF_BENCH_SIZE"] = str(args.size)
+    os.environ["NERF_BENCH_IMPL"] = args.impl
+    os.environ["NERF_BENCH_DTYPE"] = args.dtype
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench  # repo-root bench.py
+
+    bench.main()
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Golden-sample check (the reference's unit test, lib.rs:753-916) plus a
+    kernel-vs-oracle check when --impl pallas."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_rs_tpu.io.golden import golden_examples, load_golden
+    from nerf_rs_tpu.io.weights import find_lego_assets
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+
+    params, _ = _load_scene(args)
+    assets = Path(args.weights) if args.weights else find_lego_assets()
+    golden = load_golden(assets / "tf_reference_samples.json")
+
+    if args.impl == "pallas":
+        from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp
+
+        def mlp(p, pts, dirs):
+            return fused_nerf_mlp(p, pts, dirs, dtype=args.dtype)
+    else:
+        mlp = nerf_mlp
+
+    worst = 0.0
+    ok = True
+    for net in ("coarse", "fine"):
+        for ex in golden_examples(golden):
+            pts = ex["ray_o"][None] + ex["ray_d"][None] * ex["z_vals"][:, None]
+            dirs = np.broadcast_to(ex["viewdir_unit"], pts.shape)
+            rgb, sigma = mlp(params[net], jnp.asarray(pts), jnp.asarray(dirs))
+            err = max(
+                float(np.abs(np.asarray(sigma) - ex[f"{net}_sigma"]).max()),
+                float(np.abs(np.asarray(rgb) - ex[f"{net}_rgb"]).max()),
+            )
+            worst = max(worst, err)
+            status = "OK" if err < args.tolerance else "FAIL"
+            ok &= err < args.tolerance
+            print(f"{net} pixel {ex['pixel']}: max abs err {err:.2e} [{status}]")
+    print(f"worst error {worst:.2e} (tolerance {args.tolerance})")
+    return 0 if ok else 1
+
+
+def cmd_train(args) -> int:
+    import jax
+    import numpy as np
+
+    from nerf_rs_tpu.config import RenderConfig, TrainConfig
+    from nerf_rs_tpu.io.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from nerf_rs_tpu.parallel.mesh import make_mesh
+    from nerf_rs_tpu.parallel.train_sharded import (
+        create_sharded_train_state,
+        sharded_train_step,
+    )
+
+    cfg = TrainConfig(
+        batch_rays=args.batch_rays,
+        n_steps=args.steps,
+        checkpoint_every=args.checkpoint_every,
+        seed=args.seed,
+        render=RenderConfig(
+            n_coarse=args.coarse_samples, n_fine=args.fine_samples,
+            ray_chunk=args.batch_rays, impl=args.impl, dtype=args.dtype,
+        ),
+    )
+    mesh, state = create_sharded_train_state(jax.random.key(cfg.seed), cfg)
+    print(f"mesh: {mesh}; devices: {jax.device_count()}")
+
+    if args.checkpoint_dir:
+        ckpt = latest_checkpoint(args.checkpoint_dir)
+        if ckpt is not None:
+            state = restore_checkpoint(ckpt, state)
+            print(f"resumed from {ckpt} at step {int(state.step)}")
+
+    if args.data:
+        from nerf_rs_tpu.data import BlenderDataset
+
+        dataset = BlenderDataset(args.data)
+    else:
+        from nerf_rs_tpu.data import DistillationDataset
+
+        teacher, _ = _load_scene(args)
+        dataset = DistillationDataset(teacher, cfg=cfg.render, seed=cfg.seed)
+        print("no --data given: distilling from the pretrained lego networks")
+
+    key = jax.random.key(cfg.seed + 1)
+    t0 = time.perf_counter()
+    start_step = int(state.step)
+    for step, batch in enumerate(dataset.batches(cfg.batch_rays), start=start_step):
+        if step >= cfg.n_steps:
+            break
+        state, metrics = sharded_train_step(mesh, state, batch, jax.random.fold_in(key, step), cfg)
+        if step % args.log_every == 0 or step + 1 == cfg.n_steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            rays_s = cfg.batch_rays * (step - start_step + 1) / (time.perf_counter() - t0)
+            print(f"step {step}: loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
+                  f"({rays_s:,.0f} rays/s fwd+bwd)")
+        if args.checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
+            path = save_checkpoint(args.checkpoint_dir, state)
+            print(f"checkpointed {path}")
+    if args.checkpoint_dir:
+        path = save_checkpoint(args.checkpoint_dir, state)
+        print(f"final checkpoint {path}")
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Export a training checkpoint to the reference .bin format."""
+    import jax
+
+    from nerf_rs_tpu.config import TrainConfig
+    from nerf_rs_tpu.io.checkpoint import export_reference_format, restore_checkpoint
+    from nerf_rs_tpu.train import create_train_state
+
+    template = create_train_state(jax.random.key(0), TrainConfig())
+    state = restore_checkpoint(args.checkpoint, template)
+    export_reference_format(args.output, state.params)
+    print(f"exported step {int(state.step)} params to {args.output} "
+          "(reference shapes.txt + .bin format)")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    print(f"jax {jax.__version__}")
+    print(f"backend: {jax.default_backend()}")
+    print(f"devices ({jax.device_count()}): {jax.devices()}")
+    from nerf_rs_tpu.io.weights import find_lego_assets
+
+    print(f"lego assets: {find_lego_assets()}")
+    return 0
+
+
+def _add_common(p):
+    p.add_argument("--weights", help="weight bundle dir (default: auto-discover)")
+    p.add_argument("--camera", help="camera JSON (default: bundle's golden JSON)")
+    p.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--coarse-samples", type=int, default=64)
+    p.add_argument("--fine-samples", type=int, default=128)
+    p.add_argument("--ray-chunk", type=int, default=16384)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="nerf_rs_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render an image")
+    _add_common(p)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("-o", "--output", default="output.ppm")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("benchmark", help="rays/s benchmark (prints one JSON line)")
+    p.add_argument("--size", type=int, default=800)
+    p.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("verify", help="golden-sample verification")
+    _add_common(p)
+    p.add_argument("--tolerance", type=float, default=1e-2)
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("train", help="train coarse+fine networks")
+    _add_common(p)
+    p.add_argument("--data", help="nerf_synthetic scene dir (default: distill)")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-rays", type=int, default=4096)
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--log-every", type=int, default=20)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("export", help="checkpoint -> reference .bin format")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("info", help="device/mesh info")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,71 @@
+"""Training checkpoints: orbax save/restore + reference `.bin` export.
+
+The reference's only "checkpoint format" is the shapes.txt + raw LE-f32 .bin
+directory it loads from (/root/reference/src/lib.rs:108-174); it cannot save.
+Here training state (params + optimizer + step) round-trips through orbax,
+and the params alone can be exported to the reference format so a
+reference-renderer user can consume checkpoints trained on TPU.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from nerf_rs_tpu.io.weights import load_nerf_params, save_nerf_params
+
+
+def save_checkpoint(directory, state, *, keep: int = 3) -> Path:
+    """Save TrainState at <directory>/step_<N> via orbax; prunes old steps."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    directory.mkdir(parents=True, exist_ok=True)
+    step = int(state.step)
+    path = directory / f"step_{step:08d}"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree_util.tree_map(np.asarray, state), force=True)
+    steps = sorted(p for p in directory.glob("step_*") if p.is_dir())
+    for old in steps[:-keep]:
+        import shutil
+
+        shutil.rmtree(old)
+    return path
+
+
+def latest_checkpoint(directory) -> Optional[Path]:
+    directory = Path(directory)
+    if not directory.is_dir():
+        return None
+    steps = sorted(p for p in directory.glob("step_*") if p.is_dir())
+    return steps[-1] if steps else None
+
+
+def restore_checkpoint(path, template):
+    """Restore a TrainState saved by save_checkpoint. ``template`` is a state
+    with the right structure (e.g. from create_train_state)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(Path(path).absolute(), item=template)
+    return restored
+
+
+def export_reference_format(directory, params) -> None:
+    """Write {coarse,fine}/ weight dirs readable by the reference renderer
+    (and by our loader)."""
+    directory = Path(directory)
+    for net in ("coarse", "fine"):
+        save_nerf_params(directory / net, params[net])
+
+
+def import_reference_format(directory):
+    directory = Path(directory)
+    return {
+        "coarse": load_nerf_params(directory / "coarse"),
+        "fine": load_nerf_params(directory / "fine"),
+    }
