@@ -121,11 +121,18 @@ def load_raw_params(directory: os.PathLike) -> Dict[str, np.ndarray]:
     return out
 
 
-def load_nerf_params(directory: os.PathLike, dtype=np.float32) -> Dict[str, Dict[str, np.ndarray]]:
+def load_nerf_params(
+    directory: os.PathLike, dtype=np.float32, device_put: bool = True
+) -> Dict[str, Dict[str, np.ndarray]]:
     """Assemble the param pytree from a reference-format weight directory.
 
     Mirrors the fixed name list of the reference loader (lib.rs:133-169) and
     its "no unused parameters" check (lib.rs:171).
+
+    By default the pytree is committed to the default JAX device: leaving the
+    leaves as host numpy arrays makes EVERY jit call re-upload all 2.4 MB of
+    weights (measured ~70-100 ms/call on a tunneled TPU — 3x the cost of the
+    fused MLP on a 3M-sample batch). ``device_put=False`` returns raw numpy.
     """
     raw = load_raw_params(directory)
     params: Dict[str, Dict[str, np.ndarray]] = {}
@@ -144,6 +151,10 @@ def load_nerf_params(directory: os.PathLike, dtype=np.float32) -> Dict[str, Dict
         }
     if raw:
         raise ValueError(f"unused parameters left after load: {sorted(raw)}")
+    if device_put:
+        import jax
+
+        params = jax.device_put(params)
     return params
 
 

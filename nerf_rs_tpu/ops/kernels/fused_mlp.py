@@ -3,31 +3,45 @@
 Replaces the reference's per-layer GEMM chain (Layer::forward_matrix,
 /root/reference/src/network.rs:62-170, 13 matmuls per batch with every
 activation round-tripping through memory) with ONE kernel per batch tile:
-activations never leave VMEM, weights are MXU-padded once, and the
-positional encoding itself rides the MXU.
+activations never leave VMEM and weights are DMA'd to VMEM exactly once
+per launch.
 
-Design notes (TPU-first, not a translation):
+Design notes (v2 — TPU-first, measured on v5e):
 
-* Encoding-as-matmul: build a constant projection G with G[axis, col] =
-  2^band placing ``freq * coord`` in every encoding lane, then apply
-  sin/cos/identity per-lane with an iota select. One 128-wide MXU pass +
-  one VPU transcendental pass instead of scattered lane writes. The lane
-  order matches the reference scheme (identity, then sin-triple/cos-triple
-  per doubling band, no pi — network.rs:263-330).
+* Transposed (feature-major) layout: activations are (features, batch)
+  with the batch on the 128-wide lane axis — matching the reference's own
+  (features x batch) convention (network.rs:197) but chosen here because
+  it makes every matmul a clean (out, in) x (in, T) MXU pass with NO
+  padded K lanes beyond 64/32 rounding, and shrinks the kernel's
+  input/output DMA to an (8, T) stripe: rows 0-2 points, 3-5 dirs in;
+  rows 0-2 rgb, row 3 sigma out (16x less IO than a 128-lane row layout).
 
-* Concat-free skip connections: the 319-wide skip (network.rs:210-211) and
-  283-wide bottleneck||viewdir concat (network.rs:219-220) are MXU-hostile;
-  each becomes TWO matmuls on the split weight (rows 0:63 / 63:319 of
-  dense5; rows 0:256 / 256:283 of viewdirs) summed in VMEM — numerically
-  identical, no relayout.
+* Weights ride in ONE packed blob that the kernel copies HBM -> VMEM
+  scratch at grid step 0 and reuses for every later step. This both
+  bounds weight traffic at one copy per launch and sidesteps a measured
+  pathology where operands *computed inside* the enclosing jit (e.g.
+  params cast to bf16 by a training step) made per-step pipelined operand
+  fetches ~3x slower than jit-argument operands.
 
-* Packed heads: alpha (256->1, ReLU) lands in output lane 0 and rgb
-  (128->3, sigmoid) in lanes 1:4 by pre-shifting the head kernels into
-  padded 128-lane matrices; one iota select merges them.
+* Encoding-as-matmul: one (128, 8) f32 projection G with G[c, axis] =
+  2^band builds the sin/cos arguments for BOTH the L=10 point encoding
+  (rows 0:63) and the L=4 dir encoding (rows 64:91) in a single K=8 MXU
+  pass; identity/sin/cos lanes are selected with constant row masks. The
+  row order matches the reference scheme (identity, then sin-triple/
+  cos-triple per doubling band, no pi — network.rs:263-330).
 
-* Feature dims padded to lane multiples (63->128, 319->128+256, 283->
-  256+128, 27->128) with zero rows so numerics are unchanged; padding
-  overhead is ~10% of the FLOPs.
+* Concat-free skip connections: the 319-wide skip (network.rs:210-211)
+  and 283-wide bottleneck||viewdir concat (network.rs:219-220) each
+  become TWO matmuls on the split transposed weight summed in VMEM —
+  numerically identical, no relayout, no MXU-hostile odd widths.
+
+* In bfloat16 mode, cos(x) is computed as sin(x + pi/2) so the encoding
+  costs ONE transcendental pass; float32 (oracle-parity) mode keeps the
+  exact cos.
+
+* A sigma-only kernel variant serves the coarse pass: the reference
+  discards coarse colors (lib.rs:404), so bottleneck/viewdirs/rgb
+  (~17% of the FLOPs) are skipped entirely.
 
 Numerics: float32 mode uses precision=HIGHEST matmuls and is validated
 allclose (<=1e-5-ish) against the pure-JAX oracle (models/mlp.py);
@@ -37,7 +51,7 @@ bfloat16 mode casts matmul inputs with f32 accumulation for speed.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,171 +59,270 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nerf_rs_tpu.models.encoding import encoded_dim
-
 LANES = 128
-_HIDDEN = 256
-_VIEW_HIDDEN = 128
+_H = 256          # hidden width
+_VH = 128         # viewdirs hidden width
+_XF, _DF = 10, 4  # encoding bands (points, dirs)
+_XE = 3 + 6 * _XF             # 63
+_DE = 3 + 6 * _DF             # 27
+_DOFF = 64                    # dir-encoding row offset in the enc buffer
+
+# --- weight blob layout: transposed (out, in) weights stacked on the
+# sublane axis, 256 lanes wide. Offsets are multiples of 16 so bf16
+# sublane slicing stays tile-aligned.
+_SLOTS = {
+    "w0t": (0, _H),        # dense0^T  (256, 64)   K lanes 0:64  (enc_p)
+    "w1t": (256, _H),
+    "w2t": (512, _H),
+    "w3t": (768, _H),
+    "w4t": (1024, _H),
+    "w5at": (1280, _H),    # dense5^T rows for the encoded-input skip, K=64
+    "w5bt": (1536, _H),    # dense5^T rows for h4, K=256
+    "w6t": (1792, _H),
+    "w7t": (2048, _H),
+    "wbt": (2304, _H),     # bottleneck^T
+    "wvat": (2560, _VH),   # viewdirs^T rows for bottleneck, K=256
+    "wvbt": (2688, _VH),   # viewdirs^T rows for the dir encoding, K=32
+    "wst": (2816, 16),     # sigma head: alpha^T at row 3 (lands at out row 3)
+    "wrt": (2832, 16),     # rgb head: rgb^T at rows 0:3, K lanes 0:128
+}
+_BLOB_ROWS = 2848
+
+# --- aux blob (always f32): encode projection + bias table.
+_AUX_G_ROWS = LANES                       # rows 0:128, lanes 0:8 = G
+_AUX_B_OFF = LANES                        # rows 128:384, lanes 0:12 = biases
+_AUX_ROWS = LANES + _H                    # 384
+# bias columns (by layer index used in the kernel)
+_BIAS_COLS = 12  # dense0..7 -> 0..7, bottleneck -> 8, viewdirs -> 9,
+#                  sigma head -> 10 (at row 3), rgb head -> 11 (rows 0:3)
 
 
-def _encoding_projection(num_freqs: int, row_offset: int) -> np.ndarray:
-    """(128, 128) matrix G s.t. (x @ G)[:, c] = freq_c * coord_{axis_c}.
+def _encode_projection() -> np.ndarray:
+    """(128, 8) G with (G @ x)[c, :] = freq_c * coord_{axis_c}.
 
-    Input lanes carry xyz at ``row_offset`` (0 for points, 3 for dirs).
-    Columns: 0-2 identity, then per band k: cols 3+6k..5+6k sin-args and
-    6+6k..8+6k cos-args, both equal to 2^k * coord (sin/cos applied later).
+    Input rows 0-2 carry the point xyz, rows 3-5 the dir xyz. Output rows
+    0:63 are the point-encoding lanes (identity, then per band k the
+    sin-args then cos-args, frequency 2^k with NO pi factor —
+    network.rs:274-287); rows 64:91 the dir-encoding lanes likewise
+    (network.rs:294-330).
     """
-    g = np.zeros((LANES, LANES), np.float32)
-    for c in range(3):
-        g[row_offset + c, c] = 1.0
-    for k in range(num_freqs):
-        f = float(2.0 ** k)
+    g = np.zeros((LANES, 8), np.float32)
+    for axis in range(3):
+        g[axis, axis] = 1.0                       # point identity
+        g[_DOFF + axis, 3 + axis] = 1.0           # dir identity
+    for k in range(_XF):
         for o in range(6):
-            col = 3 + 6 * k + o
-            g[row_offset + (o % 3), col] = f
+            g[3 + 6 * k + o, o % 3] = float(2.0 ** k)
+    for k in range(_DF):
+        for o in range(6):
+            g[_DOFF + 3 + 6 * k + o, 3 + (o % 3)] = float(2.0 ** k)
     return g
 
 
-def _pad_to(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
-    return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+def _row_selectors(shape):
+    """Boolean (row-wise) selectors over the encoding buffer: identity rows
+    and sin rows (everything else is a cos row). Rows 63 and 91:128 are
+    padding — their values are arbitrary, zeroed later by padded weight
+    columns."""
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    ident = (r < 3) | ((r >= _DOFF) & (r < _DOFF + 3))
+    d = jnp.where(r < _DOFF, r - 3, r - (_DOFF + 3))
+    is_sin = (d % 6) < 3
+    return ident, is_sin
 
 
-def _pad_bias(b: jnp.ndarray, width: int = _HIDDEN) -> jnp.ndarray:
-    return jnp.pad(b, (0, width - b.shape[0]))
+def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack the param pytree into (blob (2848, 256) dtype, aux (384, 256) f32).
 
-
-def pack_params(params, x_freqs: int, d_freqs: int, dtype) -> Tuple[jnp.ndarray, ...]:
-    """Pad/split the param pytree into MXU-shaped kernel operands."""
+    The blob holds every weight transposed to (out, in); aux holds the
+    encode projection and the bias table (column j = layer j's bias).
+    """
+    # Built with pure pad/transpose/concat — dynamic_update_slice / scatter
+    # formulations measured ~70 ms on v5e for this same packing (tiny strided
+    # scatters serialize); this version is sub-ms.
     cdt = jnp.dtype(dtype)
-    xe = encoded_dim(x_freqs)   # 63
-    de = encoded_dim(d_freqs)   # 27
-    k = lambda name: jnp.asarray(params[name]["kernel"])
+    k = lambda name: jnp.asarray(params[name]["kernel"], jnp.float32)
     b = lambda name: jnp.asarray(params[name]["bias"], jnp.float32)
 
-    d5 = k("dense5")            # (63+256, 256): skip rows = encoded input FIRST
-    vw = k("viewdirs")          # (256+27, 128): bottleneck rows FIRST
-    alpha = k("alpha")          # (256, 1)
-    rgb = k("rgb")              # (128, 3)
+    d5 = k("dense5")   # (63+256, 256), encoded-input rows FIRST (lib.rs:133-152)
+    vw = k("viewdirs")  # (256+27, 128), bottleneck rows FIRST
 
-    w_head_sigma = jnp.zeros((_HIDDEN, LANES), jnp.float32).at[:, 0:1].set(alpha)
-    w_head_rgb = jnp.zeros((_VIEW_HIDDEN, LANES), jnp.float32).at[:, 1:4].set(rgb)
-    bias_head = jnp.concatenate([b("alpha"), b("rgb")])  # lanes 0..3
+    def slot(name, w_t):
+        off, rows = _SLOTS[name]
+        return jnp.pad(w_t, ((0, rows - w_t.shape[0]), (0, 256 - w_t.shape[1])))
 
-    weights = (
-        _pad_to(k("dense0"), LANES, _HIDDEN),            # w0   (128, 256)
-        k("dense1"), k("dense2"), k("dense3"), k("dense4"),
-        _pad_to(d5[:xe], LANES, _HIDDEN),                # w5a  (128, 256)
-        d5[xe:],                                         # w5b  (256, 256)
-        k("dense6"), k("dense7"),
-        k("bottleneck"),                                 # wb   (256, 256)
-        vw[:_HIDDEN],                                    # wva  (256, 128)
-        _pad_to(vw[_HIDDEN:], LANES, _VIEW_HIDDEN),      # wvb  (128, 128)
-        w_head_sigma, w_head_rgb,
+    pieces = [
+        slot("w0t", k("dense0").T),
+        *[slot(f"w{i}t", k(f"dense{i}").T) for i in range(1, 5)],
+        slot("w5at", d5[:_XE].T),
+        slot("w5bt", d5[_XE:].T),
+        slot("w6t", k("dense6").T),
+        slot("w7t", k("dense7").T),
+        slot("wbt", k("bottleneck").T),
+        slot("wvat", vw[:_H].T),
+        slot("wvbt", vw[_H:].T),
+        # heads: alpha lands at out row 3, rgb at out rows 0:2
+        slot("wst", jnp.pad(k("alpha").T, ((3, 0), (0, 0)))),
+        slot("wrt", k("rgb").T),
+    ]
+    blob = jnp.concatenate(pieces, axis=0).astype(cdt)
+    assert blob.shape == (_BLOB_ROWS, 256), blob.shape
+
+    def bias_col(v, top=0):
+        return jnp.pad(v, (top, _H - top - v.shape[0]))
+
+    bias_tab = jnp.stack(
+        [bias_col(b(f"dense{i}")) for i in range(8)]
+        + [bias_col(b("bottleneck")), bias_col(b("viewdirs")),
+           bias_col(b("alpha"), top=3), bias_col(b("rgb"))],
+        axis=1,
+    )  # (256, 12)
+    aux = jnp.concatenate(
+        [
+            jnp.pad(jnp.asarray(_encode_projection()), ((0, 0), (0, 256 - 8))),
+            jnp.pad(bias_tab, ((0, 0), (0, 256 - _BIAS_COLS))),
+        ],
+        axis=0,
     )
-    weights = tuple(w.astype(cdt) for w in weights)
-
-    biases = jnp.stack([
-        _pad_bias(b("dense0")), _pad_bias(b("dense1")), _pad_bias(b("dense2")),
-        _pad_bias(b("dense3")), _pad_bias(b("dense4")), _pad_bias(b("dense5")),
-        _pad_bias(b("dense6")), _pad_bias(b("dense7")),
-        _pad_bias(b("bottleneck")),
-        _pad_bias(b("viewdirs")),
-        _pad_bias(bias_head),
-    ])  # (11, 256) f32
-
-    g_pts = jnp.asarray(_encoding_projection(x_freqs, 0))
-    g_dirs = jnp.asarray(_encoding_projection(d_freqs, 3))
-    return (g_pts, g_dirs, *weights, biases)
+    assert aux.shape == (_AUX_ROWS, 256), aux.shape
+    return blob, aux
 
 
-def _kernel(x_freqs, d_freqs, cdt,
-            x_ref, gp_ref, gd_ref,
-            w0, w1, w2, w3, w4, w5a, w5b, w6, w7, wb, wva, wvb, whs, whr,
-            bias_ref, out_ref):
+def _kernel_body(cdt, sigma_only, fast_cos,
+                 x_ref, blob_ref, aux_ref, out_ref, ws, wa, sems):
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST
-    x = x_ref[:]  # (T, 128) f32; lanes 0-2 points, 3-5 dirs, rest 0
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    prec = hi if cdt == f32 else None
 
-    def mm(a, w_ref):
-        return jnp.dot(a, w_ref[:], preferred_element_type=f32,
-                       precision=(hi if cdt == f32 else None))
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp_w = pltpu.make_async_copy(blob_ref, ws, sems.at[0])
+        cp_a = pltpu.make_async_copy(aux_ref, wa, sems.at[1])
+        cp_w.start()
+        cp_a.start()
+        cp_w.wait()
+        cp_a.wait()
 
-    def encode(g_ref, num_freqs):
-        raw = jnp.dot(x, g_ref[:], preferred_element_type=f32, precision=hi)
-        is_sin = (col - 3) % 6 < 3
+    x = x_ref[:]                                    # (8, T) f32
+    g = wa[0:LANES, 0:8]                             # (128, 8) f32
+    raw = jnp.dot(g, x, preferred_element_type=f32, precision=hi)  # (128, T)
+
+    ident, is_sin = _row_selectors(raw.shape)
+    if fast_cos:
+        # cos(x) = sin(x + pi/2): one transcendental pass. Arg error from
+        # the f32 phase add is ~1e-4 at |x|<=2048 — far below bf16 noise.
+        tr = jnp.sin(raw + jnp.where(is_sin, 0.0, np.float32(np.pi / 2)))
+        enc = jnp.where(ident, raw, tr).astype(cdt)
+    else:
         tr = jnp.where(is_sin, jnp.sin(raw), jnp.cos(raw))
-        enc = jnp.where(col < 3, raw, tr)
-        return jnp.where(col < encoded_dim(num_freqs), enc, 0.0).astype(cdt)
+        enc = jnp.where(ident, raw, tr).astype(cdt)
 
-    def act(pre, bias_row, relu=True):
-        h = pre + bias_ref[bias_row][: pre.shape[-1]]
-        return (jnp.maximum(h, 0.0) if relu else h).astype(cdt)
+    def lay(name, h, klanes, bias_col, relu=True):
+        off, rows = _SLOTS[name]
+        acc = jnp.dot(ws[off:off + rows, 0:klanes], h,
+                      preferred_element_type=f32, precision=prec)
+        acc = acc + wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
+        return jnp.maximum(acc, 0.0) if relu else acc
 
-    enc_p = encode(gp_ref, x_freqs)
-    enc_d = encode(gd_ref, d_freqs)
+    def lay2(na, ha, ka, nb, hb, kb, bias_col, relu=True):
+        offa, rows = _SLOTS[na]
+        offb, _ = _SLOTS[nb]
+        acc = jnp.dot(ws[offa:offa + rows, 0:ka], ha,
+                      preferred_element_type=f32, precision=prec)
+        acc = acc + jnp.dot(ws[offb:offb + rows, 0:kb], hb,
+                            preferred_element_type=f32, precision=prec)
+        acc = acc + wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
+        return jnp.maximum(acc, 0.0) if relu else acc
 
-    h = act(mm(enc_p, w0), 0)
-    for i, w in enumerate((w1, w2, w3, w4)):
-        h = act(mm(h, w), i + 1)
-    h = act(mm(enc_p, w5a) + mm(h, w5b), 5)          # skip connection
-    h = act(mm(h, w6), 6)
-    h8 = act(mm(h, w7), 7)
+    enc_p = enc[0:64]                               # (64, T), rows 0:63 live
+    h = lay("w0t", enc_p, 64, 0).astype(cdt)
+    for i in range(1, 5):
+        h = lay(f"w{i}t", h, 256, i).astype(cdt)
+    h = lay2("w5at", enc_p, 64, "w5bt", h, 256, 5).astype(cdt)   # skip concat
+    h = lay("w6t", h, 256, 6).astype(cdt)
+    h8 = lay("w7t", h, 256, 7).astype(cdt)
 
-    sigma_pre = mm(h8, whs)                          # (T, 128), lane 0 live
-    bneck = act(mm(h8, wb), 8, relu=False)           # no activation
-    hv = act(mm(bneck, wva) + mm(enc_d, wvb), 9)     # bottleneck||dirs concat
-    rgb_pre = mm(hv, whr)                            # lanes 1-3 live
+    sig8 = lay("wst", h8, 256, 10)[0:8]             # (8, T), row 3 = sigma
+    row = jax.lax.broadcasted_iota(jnp.int32, sig8.shape, 0)
 
-    head_bias = bias_ref[10][:LANES]
-    sigma = jnp.maximum(sigma_pre + head_bias, 0.0)
-    rgb = jax.nn.sigmoid(rgb_pre + head_bias)
-    out_ref[:] = jnp.where(col == 0, sigma, jnp.where(col < 4, rgb, 0.0))
+    if sigma_only:
+        out_ref[:] = jnp.where(row == 3, sig8, 0.0)
+        return
+
+    enc_d = enc[_DOFF:_DOFF + 32]                   # (32, T), rows 0:27 live
+    bneck = lay("wbt", h8, 256, 8, relu=False).astype(cdt)
+    hv = lay2("wvat", bneck, 256, "wvbt", enc_d, 32, 9).astype(cdt)
+    rgb8 = jax.nn.sigmoid(lay("wrt", hv, 128, 11, relu=False)[0:8])  # rows 0:2
+    out_ref[:] = jnp.where(row == 3, sig8, jnp.where(row < 3, rgb8, 0.0))
 
 
-def _forward_padded(packed, x: jnp.ndarray, x_freqs: int, d_freqs: int,
-                    dtype, tile: int) -> jnp.ndarray:
-    """x: (N, 128) f32 with N a multiple of ``tile`` -> (N, 128) f32 output
-    [lane 0 sigma, lanes 1-3 rgb]."""
+# FLOPs per sample (batch column) for the cost model, full network.
+_FLOPS_FULL = 2 * (
+    LANES * 8                 # encode projection
+    + 2 * _H * 64             # w0t, w5at
+    + 8 * _H * _H             # w1-4, w5b, w6, w7, wb
+    + 16 * _H                 # sigma head
+    + _VH * _H + _VH * 32     # wvat, wvbt
+    + 16 * _VH                # rgb head
+)
+_FLOPS_SIGMA = 2 * (LANES * 8 + 2 * _H * 64 + 7 * _H * _H + 16 * _H)
+
+
+def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret):
+    """x: (8, N) f32, N a multiple of ``tile`` -> (8, N) f32 out
+    [rows 0-2 rgb, row 3 sigma]."""
     cdt = jnp.dtype(dtype)
-    n = x.shape[0]
+    n = x.shape[1]
     grid = n // tile
-
-    data_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    in_specs = [data_spec] + [full(p) for p in packed]
-
-    flops_per_row = 2 * (
-        2 * LANES * LANES                      # two encodings
-        + LANES * _HIDDEN * 2                  # w0, w5a
-        + _HIDDEN * _HIDDEN * 8                # w1-4, w5b, w6, w7, wb
-        + _HIDDEN * LANES * 2                  # wva, whs
-        + LANES * LANES * 2                    # wvb, whr
-    )
-    kernel = functools.partial(_kernel, x_freqs, d_freqs, cdt)
+    data_spec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_body, cdt, sigma_only,
+                               fast_cos and cdt != jnp.float32)
+    flops = (_FLOPS_SIGMA if sigma_only else _FLOPS_FULL) * n
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=in_specs,
+        in_specs=[
+            data_spec,
+            pl.BlockSpec(memory_space=pl.ANY),      # weight blob (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),      # aux blob (manual DMA)
+        ],
         out_specs=data_spec,
-        out_shape=jax.ShapeDtypeStruct((n, LANES), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_row * n,
-            bytes_accessed=(n * LANES * 8) + sum(int(np.prod(p.shape)) * p.dtype.itemsize
-                                                 for p in packed),
-            transcendentals=4 * n * LANES,
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_BLOB_ROWS, 256), cdt),
+            pltpu.VMEM((_AUX_ROWS, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),     # sequential: step-0 DMA
         ),
-        interpret=(jax.default_backend() != "tpu"),
-    )(x, *packed)
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n * 8 * 8 + _BLOB_ROWS * 256 * cdt.itemsize,
+            transcendentals=n * LANES,
+        ),
+        interpret=interpret,
+    )(x, blob, aux)
 
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 @functools.lru_cache(maxsize=None)
-def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int):
+def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool):
+    if (x_freqs, d_freqs) != (_XF, _DF):
+        raise NotImplementedError(
+            f"fused kernel is specialized to L=({_XF},{_DF}) encodings, "
+            f"got ({x_freqs},{d_freqs}) — use impl='xla'"
+        )
     from nerf_rs_tpu.models.mlp import nerf_mlp  # oracle for the backward pass
+
+    interpret = not _is_tpu()
 
     def forward(params, points, viewdirs):
         batch_shape = points.shape[:-1]
@@ -218,13 +331,13 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int):
         x6 = jnp.concatenate(
             [points.reshape(n, 3), vd.reshape(n, 3)], axis=-1
         ).astype(jnp.float32)
-        t = min(tile, _round_up(max(n, 1), 16))
+        t = min(tile, _round_up(max(n, 1), LANES))
         n_pad = _round_up(max(n, 1), t)
-        x = jnp.pad(x6, ((0, n_pad - n), (0, LANES - 6)))
-        packed = pack_params(params, x_freqs, d_freqs, dtype)
-        out = _forward_padded(packed, x, x_freqs, d_freqs, dtype, t)
-        sigma = out[:n, 0].reshape(batch_shape)
-        rgb = out[:n, 1:4].reshape(*batch_shape, 3)
+        x = jnp.pad(x6, ((0, n_pad - n), (0, 2))).T      # (8, n_pad)
+        blob, aux = pack_params(params, dtype)
+        out = _forward_t(blob, aux, x, dtype, t, sigma_only, True, interpret)
+        sigma = out[3, :n].reshape(batch_shape)
+        rgb = out[0:3, :n].T.reshape(*batch_shape, 3)
         return rgb, sigma
 
     @jax.custom_vjp
@@ -256,12 +369,15 @@ def fused_nerf_mlp(
     x_freqs: int = 10,
     d_freqs: int = 4,
     dtype: str = "float32",
-    tile: int = 1024,
+    tile: int = 2048,
+    sigma_only: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for models.mlp.nerf_mlp.
 
     points (..., 3), viewdirs broadcastable (..., 3) -> (rgb (..., 3),
-    sigma (...,)), float32. Differentiable (custom VJP).
+    sigma (...,)), float32. Differentiable (custom VJP). With
+    ``sigma_only`` the rgb output is zeros and the color branch is
+    skipped (the coarse pass discards colors, lib.rs:404).
     """
-    op = _make_op(x_freqs, d_freqs, str(dtype), tile)
+    op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only))
     return op(params, points, viewdirs)

@@ -42,7 +42,7 @@ def get_mlp_fn(cfg: RenderConfig):
     if cfg.impl != "xla":
         raise ValueError(f"unknown MLP impl {cfg.impl!r} (expected 'xla' or 'pallas')")
 
-    def xla_mlp(params, points, viewdirs):
+    def xla_mlp(params, points, viewdirs, sigma_only: bool = False):
         dt = jnp.dtype(cfg.dtype)
         rgb, sigma = nerf_mlp(
             params,
@@ -82,7 +82,11 @@ def render_rays(
     # --- coarse pass (reference lib.rs:375-404) ---
     t_c = stratified_samples(k_coarse, near, far, cfg.n_coarse, batch_shape)
     pts_c = origin[..., None, :] + dirs[..., None, :] * t_c[..., :, None]
-    rgb_c, sigma_c = mlp(params_coarse, pts_c, dirs[..., None, :])
+    # The reference discards coarse colors (lib.rs:404) — skip the color
+    # branch unless the caller needs the coarse image (training/aux).
+    rgb_c, sigma_c = mlp(
+        params_coarse, pts_c, dirs[..., None, :], sigma_only=not return_aux
+    )
     w_c = compute_weights(sigma_c, t_c, far, t_threshold=cfg.t_threshold)
 
     # --- hierarchical resampling (lib.rs:406-421) ---

@@ -82,16 +82,30 @@ def test_fused_grads_match_oracle(rand_params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4)
 
 
+def test_fused_sigma_only_matches_full(rand_params):
+    """The coarse-pass variant returns the same sigma with zero rgb."""
+    pts, dirs = _rand_inputs(64, seed=2)
+    rgb_f, sig_f = fused_nerf_mlp(rand_params, pts, dirs)
+    rgb_s, sig_s = fused_nerf_mlp(rand_params, pts, dirs, sigma_only=True)
+    np.testing.assert_allclose(sig_s, sig_f, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rgb_s), 0.0)
+
+
 def test_pack_params_shapes(rand_params):
-    packed = pack_params(rand_params, 10, 4, jnp.float32)
-    gp, gd = packed[0], packed[1]
-    assert gp.shape == (128, 128) and gd.shape == (128, 128)
-    biases = packed[-1]
-    assert biases.shape == (11, 256)
-    # encoding projection sanity: x @ gp reproduces freq*coord lanes
-    x = np.zeros((8, 128), np.float32)
-    x[:, :3] = [[0.1, -0.2, 0.3]] * 8
-    raw = x @ np.asarray(gp)
-    np.testing.assert_allclose(raw[0, :3], [0.1, -0.2, 0.3], atol=1e-7)
-    np.testing.assert_allclose(raw[0, 3:9], [0.1, -0.2, 0.3, 0.1, -0.2, 0.3], atol=1e-7)
-    np.testing.assert_allclose(raw[0, 9:12], [0.2, -0.4, 0.6], atol=1e-7)  # band 1 = 2x
+    from nerf_rs_tpu.ops.kernels.fused_mlp import (
+        _AUX_ROWS, _BLOB_ROWS, _encode_projection,
+    )
+
+    blob, aux = pack_params(rand_params, jnp.float32)
+    assert blob.shape == (_BLOB_ROWS, 256) and aux.shape == (_AUX_ROWS, 256)
+    # encoding projection sanity: G @ x reproduces freq*coord rows
+    g = _encode_projection()
+    x = np.zeros((8, 4), np.float32)
+    x[:3, :] = np.asarray([[0.1], [-0.2], [0.3]])
+    x[3:6, :] = np.asarray([[0.5], [0.6], [-0.7]])
+    raw = g @ x
+    np.testing.assert_allclose(raw[:3, 0], [0.1, -0.2, 0.3], atol=1e-7)
+    np.testing.assert_allclose(raw[3:9, 0], [0.1, -0.2, 0.3, 0.1, -0.2, 0.3], atol=1e-7)
+    np.testing.assert_allclose(raw[9:12, 0], [0.2, -0.4, 0.6], atol=1e-7)  # band 1 = 2x
+    np.testing.assert_allclose(raw[64:67, 0], [0.5, 0.6, -0.7], atol=1e-7)  # dir identity
+    np.testing.assert_allclose(raw[67:70, 0], [0.5, 0.6, -0.7], atol=1e-7)  # dir band 0 sin
