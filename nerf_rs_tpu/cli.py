@@ -58,14 +58,27 @@ def cmd_render(args) -> int:
     from nerf_rs_tpu.io.image import save_png, save_ppm
     from nerf_rs_tpu.render import render_image
 
+    from nerf_rs_tpu.utils.profiling import device_trace
+
     params, camera = _load_scene(args)
     cfg = _render_config(args)
     print(f"Rendering {args.width}x{args.height} with {cfg.n_coarse} coarse and "
           f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
+    if args.sharded:
+        from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
+
+        def run(k):
+            return render_image_sharded(params["coarse"], params["fine"],
+                                        camera, args.height, args.width, k, cfg)
+    else:
+        def run(k):
+            return render_image(params["coarse"], params["fine"], camera,
+                                args.height, args.width, k, cfg)
+
     t0 = time.perf_counter()
-    img = render_image(params["coarse"], params["fine"], camera,
-                       args.height, args.width, jax.random.key(args.seed), cfg)
-    img = np.asarray(img)
+    with device_trace(args.trace_dir):
+        img = run(jax.random.key(args.seed))
+        img = np.asarray(img)
     dt = time.perf_counter() - t0
     rays = args.width * args.height
     print(f"Rendering completed in {dt:.2f} seconds ({rays / dt:,.0f} rays/s, "
@@ -248,6 +261,9 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("-o", "--output", default="output.ppm")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard rays over every visible chip (shard_map)")
+    p.add_argument("--trace-dir", help="write a jax.profiler trace here")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("benchmark", help="rays/s benchmark (prints one JSON line)")

@@ -71,18 +71,23 @@ _DOFF = 64                    # dir-encoding row offset in the enc buffer
 # sublane axis, 256 lanes wide. Offsets are multiples of 16 so bf16
 # sublane slicing stays tile-aligned.
 _SLOTS = {
-    "w0t": (0, _H),        # dense0^T  (256, 64)   K lanes 0:64  (enc_p)
+    # K is always 128 or 256: lane slices at non-128 boundaries force Mosaic
+    # relayout copies (a K=64 dense0 measured SLOWER than a K=256 layer).
+    # Sub-width inputs are zero-padded in the weight columns instead, so
+    # e.g. dense0 consumes the full 128-row encode buffer (dir rows and
+    # padding rows hit zero columns).
+    "w0t": (0, _H),        # dense0^T  (256, 128)  cols 63:128 zero
     "w1t": (256, _H),
     "w2t": (512, _H),
     "w3t": (768, _H),
     "w4t": (1024, _H),
-    "w5at": (1280, _H),    # dense5^T rows for the encoded-input skip, K=64
+    "w5at": (1280, _H),    # dense5^T skip rows (256, 128), cols 63:128 zero
     "w5bt": (1536, _H),    # dense5^T rows for h4, K=256
     "w6t": (1792, _H),
     "w7t": (2048, _H),
     "wbt": (2304, _H),     # bottleneck^T
     "wvat": (2560, _VH),   # viewdirs^T rows for bottleneck, K=256
-    "wvbt": (2688, _VH),   # viewdirs^T rows for the dir encoding, K=32
+    "wvbt": (2688, _VH),   # viewdirs^T dir rows at cols 64:91 of (128, 128)
     "wst": (2816, 16),     # sigma head: alpha^T at row 3 (lands at out row 3)
     "wrt": (2832, 16),     # rgb head: rgb^T at rows 0:3, K lanes 0:128
 }
@@ -160,7 +165,9 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
         slot("w7t", k("dense7").T),
         slot("wbt", k("bottleneck").T),
         slot("wvat", vw[:_H].T),
-        slot("wvbt", vw[_H:].T),
+        # dir-encoding rows land at input columns _DOFF:_DOFF+27 so the
+        # matmul consumes the full 128-row encode buffer (K=128 aligned)
+        slot("wvbt", jnp.pad(vw[_H:].T, ((0, 0), (_DOFF, 0)))),
         # heads: alpha lands at out row 3, rgb at out rows 0:2
         slot("wst", jnp.pad(k("alpha").T, ((3, 0), (0, 0)))),
         slot("wrt", k("rgb").T),
@@ -234,11 +241,10 @@ def _kernel_body(cdt, sigma_only, fast_cos,
         acc = acc + wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
         return jnp.maximum(acc, 0.0) if relu else acc
 
-    enc_p = enc[0:64]                               # (64, T), rows 0:63 live
-    h = lay("w0t", enc_p, 64, 0).astype(cdt)
+    h = lay("w0t", enc, 128, 0).astype(cdt)
     for i in range(1, 5):
         h = lay(f"w{i}t", h, 256, i).astype(cdt)
-    h = lay2("w5at", enc_p, 64, "w5bt", h, 256, 5).astype(cdt)   # skip concat
+    h = lay2("w5at", enc, 128, "w5bt", h, 256, 5).astype(cdt)   # skip concat
     h = lay("w6t", h, 256, 6).astype(cdt)
     h8 = lay("w7t", h, 256, 7).astype(cdt)
 
@@ -249,11 +255,235 @@ def _kernel_body(cdt, sigma_only, fast_cos,
         out_ref[:] = jnp.where(row == 3, sig8, 0.0)
         return
 
-    enc_d = enc[_DOFF:_DOFF + 32]                   # (32, T), rows 0:27 live
     bneck = lay("wbt", h8, 256, 8, relu=False).astype(cdt)
-    hv = lay2("wvat", bneck, 256, "wvbt", enc_d, 32, 9).astype(cdt)
+    hv = lay2("wvat", bneck, 256, "wvbt", enc, 128, 9).astype(cdt)
     rgb8 = jax.nn.sigmoid(lay("wrt", hv, 128, 11, relu=False)[0:8])  # rows 0:2
     out_ref[:] = jnp.where(row == 3, sig8, jnp.where(row < 3, rgb8, 0.0))
+
+
+def _kernel_bwd(cdt, fast_cos,
+                x_ref, g_ref, blob_ref, aux_ref,
+                dx_ref, dblob_ref, daux_ref, ws, wa, sems):
+    """Fused backward: recompute the forward per tile (activations never
+    touch HBM), backprop through every layer, and accumulate weight/bias
+    grads into the constant-index output refs — Mosaic keeps those VMEM-
+    resident across the sequential grid and flushes once at the end."""
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    prec = hi if cdt == f32 else None
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp_w = pltpu.make_async_copy(blob_ref, ws, sems.at[0])
+        cp_a = pltpu.make_async_copy(aux_ref, wa, sems.at[1])
+        cp_w.start()
+        cp_a.start()
+        cp_w.wait()
+        cp_a.wait()
+        dblob_ref[:] = jnp.zeros_like(dblob_ref)
+        daux_ref[:] = jnp.zeros_like(daux_ref)
+
+    # --- forward recompute (matches _kernel_body exactly) ---
+    x = x_ref[:]
+    gproj = wa[0:LANES, 0:8]
+    raw = jnp.dot(gproj, x, preferred_element_type=f32, precision=hi)
+    ident, is_sin = _row_selectors(raw.shape)
+    if fast_cos:
+        phase = jnp.where(is_sin, 0.0, np.float32(np.pi / 2))
+        tr = jnp.sin(raw + phase)
+        dtr = jnp.cos(raw + phase)
+    else:
+        tr = jnp.where(is_sin, jnp.sin(raw), jnp.cos(raw))
+        dtr = jnp.where(is_sin, jnp.cos(raw), -jnp.sin(raw))
+    enc = jnp.where(ident, raw, tr).astype(cdt)
+    denc_draw = jnp.where(ident, 1.0, dtr)          # d(enc)/d(raw), f32
+
+    def w(name):
+        off, rows = _SLOTS[name]
+        return ws[off:off + rows]
+
+    def bias(col, rows):
+        return wa[_AUX_B_OFF:_AUX_B_OFF + rows, col:col + 1]
+
+    def fl(name, h, bias_col, relu=True, add=None):
+        rows = _SLOTS[name][1]
+        acc = jnp.dot(w(name)[:, : h.shape[0]], h,
+                      preferred_element_type=f32, precision=prec)
+        if add is not None:
+            acc = acc + add
+        acc = acc + bias(bias_col, rows)
+        return jnp.maximum(acc, 0.0) if relu else acc
+
+    def mm(name, h):
+        return jnp.dot(w(name)[:, : h.shape[0]], h,
+                       preferred_element_type=f32, precision=prec)
+
+    h0 = fl("w0t", enc, 0).astype(cdt)
+    h1 = fl("w1t", h0, 1).astype(cdt)
+    h2 = fl("w2t", h1, 2).astype(cdt)
+    h3 = fl("w3t", h2, 3).astype(cdt)
+    h4 = fl("w4t", h3, 4).astype(cdt)
+    h5 = fl("w5bt", h4, 5, add=mm("w5at", enc)).astype(cdt)
+    h6 = fl("w6t", h5, 6).astype(cdt)
+    h7 = fl("w7t", h6, 7).astype(cdt)
+    s8 = fl("wst", h7, 10, relu=False)               # (16, T) f32
+    bn = fl("wbt", h7, 8, relu=False).astype(cdt)
+    hv = fl("wvat", bn, 9, add=mm("wvbt", enc)).astype(cdt)
+    r8 = fl("wrt", hv, 11, relu=False)               # (16, T) f32
+
+    # --- backward ---
+    gg = g_ref[:]                                    # (8, T) f32
+    row8 = jax.lax.broadcasted_iota(jnp.int32, gg.shape, 0)
+    z8 = jnp.zeros_like(gg)
+    rgb16 = jnp.concatenate([jnp.where(row8 < 3, gg, 0.0), z8], axis=0)
+    sig16 = jnp.concatenate([jnp.where(row8 == 3, gg, 0.0), z8], axis=0)
+    sgm = jax.nn.sigmoid(r8)
+    dr8 = (rgb16 * sgm * (1.0 - sgm)).astype(cdt)    # d(pre-sigmoid), rows 0:2
+    ds8 = (sig16 * (s8 > 0)).astype(cdt)             # d(pre-relu sigma), row 3
+
+    def acc_w(name, dh, hin):
+        off, rows = _SLOTS[name]
+        kl = hin.shape[0]
+        dw = jax.lax.dot_general(dh, hin, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32, precision=prec)
+        dblob_ref[off:off + rows, 0:kl] = dblob_ref[off:off + rows, 0:kl] + dw
+
+    def acc_b(col, dh):
+        rows = dh.shape[0]
+        sl = daux_ref[_AUX_B_OFF:_AUX_B_OFF + rows, col:col + 1]
+        daux_ref[_AUX_B_OFF:_AUX_B_OFF + rows, col:col + 1] = (
+            sl + jnp.sum(dh.astype(f32), axis=1, keepdims=True)
+        )
+
+    def bwd_in(name, dh):
+        # (rows, 256-lane weight)^T @ dh -> gradient w.r.t. the layer input
+        return jax.lax.dot_general(w(name), dh, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32, precision=prec)
+
+    acc_w("wrt", dr8, hv)
+    acc_b(11, dr8)
+    dhv = (bwd_in("wrt", dr8)[:_VH] * (hv > 0)).astype(cdt)
+    acc_w("wvat", dhv, bn)
+    acc_w("wvbt", dhv, enc)
+    acc_b(9, dhv)
+    dbn = bwd_in("wvat", dhv).astype(cdt)            # bottleneck: no relu
+    de = bwd_in("wvbt", dhv)[:LANES]                 # f32 (128, T)
+    acc_w("wbt", dbn, h7)
+    acc_b(8, dbn)
+    acc_w("wst", ds8, h7)
+    acc_b(10, ds8)
+    dh7 = ((bwd_in("wbt", dbn) + bwd_in("wst", ds8)) * (h7 > 0)).astype(cdt)
+    acc_w("w7t", dh7, h6)
+    acc_b(7, dh7)
+    dh6 = (bwd_in("w7t", dh7) * (h6 > 0)).astype(cdt)
+    acc_w("w6t", dh6, h5)
+    acc_b(6, dh6)
+    dh5 = (bwd_in("w6t", dh6) * (h5 > 0)).astype(cdt)
+    acc_w("w5bt", dh5, h4)
+    acc_w("w5at", dh5, enc)
+    acc_b(5, dh5)
+    de = de + bwd_in("w5at", dh5)[:LANES]
+    dh = (bwd_in("w5bt", dh5) * (h4 > 0)).astype(cdt)
+    for i, hin, hprev in ((4, h3, h2), (3, h2, h1), (2, h1, h0)):
+        acc_w(f"w{i}t", dh, hin)
+        acc_b(i, dh)
+        dh = (bwd_in(f"w{i}t", dh) * (hin > 0)).astype(cdt)
+    acc_w("w1t", dh, h0)
+    acc_b(1, dh)
+    dh0 = (bwd_in("w1t", dh) * (h0 > 0)).astype(cdt)
+    acc_w("w0t", dh0, enc)
+    acc_b(0, dh0)
+    de = de + bwd_in("w0t", dh0)[:LANES]
+
+    draw = de * denc_draw
+    dx_ref[:] = jax.lax.dot_general(gproj, draw, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=f32, precision=hi)
+
+
+def _backward_t(blob, aux, x, g, dtype, tile, fast_cos, interpret):
+    """x, g: (8, N) f32 -> (dx (8, N) f32, dblob, daux f32 grads)."""
+    cdt = jnp.dtype(dtype)
+    n = x.shape[1]
+    grid = n // tile
+    data_spec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    full_out = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_bwd, cdt, fast_cos and cdt != jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            data_spec, data_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            data_spec,
+            full_out((_BLOB_ROWS, 256)),
+            full_out((_AUX_ROWS, 256)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, n), jnp.float32),
+            jax.ShapeDtypeStruct((_BLOB_ROWS, 256), jnp.float32),
+            jax.ShapeDtypeStruct((_AUX_ROWS, 256), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_BLOB_ROWS, 256), cdt),
+            pltpu.VMEM((_AUX_ROWS, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * _FLOPS_FULL * n,
+            bytes_accessed=n * 8 * 16 + 2 * _BLOB_ROWS * 256 * 4,
+            transcendentals=n * LANES,
+        ),
+        interpret=interpret,
+    )(x, g, blob, aux)
+
+
+def unpack_grads(dblob: jnp.ndarray, daux: jnp.ndarray):
+    """Map packed blob/aux gradients back to the param-pytree layout."""
+    def g(name):
+        off, rows = _SLOTS[name]
+        return dblob[off:off + rows]
+
+    bt = daux[_AUX_B_OFF:]
+
+    def gb(col, n, top=0):
+        return bt[top:top + n, col]
+
+    out = {f"dense{i}": {"kernel": g(f"w{i}t")[:, :_H].T, "bias": gb(i, _H)}
+           for i in range(1, 5)}
+    out["dense0"] = {"kernel": g("w0t")[:, :_XE].T, "bias": gb(0, _H)}
+    out["dense5"] = {
+        "kernel": jnp.concatenate([g("w5at")[:, :_XE].T, g("w5bt")[:, :_H].T], axis=0),
+        "bias": gb(5, _H),
+    }
+    out["dense6"] = {"kernel": g("w6t")[:, :_H].T, "bias": gb(6, _H)}
+    out["dense7"] = {"kernel": g("w7t")[:, :_H].T, "bias": gb(7, _H)}
+    out["bottleneck"] = {"kernel": g("wbt")[:, :_H].T, "bias": gb(8, _H)}
+    out["viewdirs"] = {
+        "kernel": jnp.concatenate(
+            [g("wvat")[:, :_H].T, g("wvbt")[:, _DOFF:_DOFF + _DE].T], axis=0
+        ),
+        "bias": gb(9, _VH),
+    }
+    out["alpha"] = {"kernel": g("wst")[3, :_H][:, None], "bias": gb(10, 1, top=3)}
+    out["rgb"] = {"kernel": g("wrt")[0:3, :_VH].T, "bias": gb(11, 3)}
+    return out
+
+
+def _reduce_to_shape(x: jnp.ndarray, shape) -> jnp.ndarray:
+    """Sum ``x`` down to broadcast-source ``shape`` (numpy rules)."""
+    extra = x.ndim - len(shape)
+    if extra:
+        x = jnp.sum(x, axis=tuple(range(extra)))
+    axes = tuple(i for i, (a, b) in enumerate(zip(x.shape, shape)) if b == 1 and a != 1)
+    if axes:
+        x = jnp.sum(x, axis=axes, keepdims=True)
+    return x
 
 
 # FLOPs per sample (batch column) for the cost model, full network.
@@ -320,11 +550,9 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
             f"fused kernel is specialized to L=({_XF},{_DF}) encodings, "
             f"got ({x_freqs},{d_freqs}) — use impl='xla'"
         )
-    from nerf_rs_tpu.models.mlp import nerf_mlp  # oracle for the backward pass
-
     interpret = not _is_tpu()
 
-    def forward(params, points, viewdirs):
+    def pack_x(points, viewdirs):
         batch_shape = points.shape[:-1]
         vd = jnp.broadcast_to(viewdirs, points.shape)
         n = int(np.prod(batch_shape)) if batch_shape else 1
@@ -334,6 +562,10 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         t = min(tile, _round_up(max(n, 1), LANES))
         n_pad = _round_up(max(n, 1), t)
         x = jnp.pad(x6, ((0, n_pad - n), (0, 2))).T      # (8, n_pad)
+        return x, n, t, batch_shape
+
+    def forward(params, points, viewdirs):
+        x, n, t, batch_shape = pack_x(points, viewdirs)
         blob, aux = pack_params(params, dtype)
         out = _forward_t(blob, aux, x, dtype, t, sigma_only, True, interpret)
         sigma = out[3, :n].reshape(batch_shape)
@@ -348,14 +580,25 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         return forward(params, points, viewdirs), (params, points, viewdirs)
 
     def op_bwd(res, g):
-        # Rematerialized backward through the pure-JAX oracle (numerically
-        # the same network); a fused Pallas backward is the next optimization.
+        # Fused Pallas backward: recompute-forward + backprop in one kernel,
+        # weight grads accumulated in VMEM across the grid (no per-layer
+        # activation round-trips, unlike autodiff of the XLA oracle).
         params, points, viewdirs = res
-        _, vjp = jax.vjp(
-            lambda p, pts, vd: nerf_mlp(p, pts, vd, x_freqs=x_freqs, d_freqs=d_freqs),
-            params, points, viewdirs,
-        )
-        return vjp(g)
+        g_rgb, g_sigma = g
+        x, n, t, batch_shape = pack_x(points, viewdirs)
+        n_pad = x.shape[1]
+        g6 = jnp.concatenate(
+            [g_rgb.reshape(n, 3), g_sigma.reshape(n, 1)], axis=-1
+        ).astype(jnp.float32)
+        g8 = jnp.pad(g6, ((0, n_pad - n), (0, 4))).T     # (8, n_pad)
+        bt = min(512, t)                                  # bwd holds all acts in VMEM
+        blob, aux = pack_params(params, dtype)
+        dx, dblob, daux = _backward_t(blob, aux, x, g8, dtype, bt, True, interpret)
+        dparams = unpack_grads(dblob, daux)
+        dpoints = dx[0:3, :n].T.reshape(*batch_shape, 3)
+        dvd_full = dx[3:6, :n].T.reshape(*batch_shape, 3)
+        dviewdirs = _reduce_to_shape(dvd_full, viewdirs.shape)
+        return dparams, dpoints, dviewdirs
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -369,7 +612,7 @@ def fused_nerf_mlp(
     x_freqs: int = 10,
     d_freqs: int = 4,
     dtype: str = "float32",
-    tile: int = 2048,
+    tile: int = 1024,
     sigma_only: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for models.mlp.nerf_mlp.

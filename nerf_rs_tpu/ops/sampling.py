@@ -22,6 +22,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _batched_uniform(key: jax.Array, batch_shape, count: int, dtype) -> jnp.ndarray:
+    """(*batch_shape, count) uniforms. ``key`` may be a single key (one
+    stream for the whole batch) or a (B,) batch of per-ray keys — per-ray
+    keys make renders bitwise invariant to chunking and device sharding."""
+    if jnp.ndim(key) == 1:
+        if batch_shape != key.shape:
+            raise ValueError(f"per-ray keys {key.shape} != batch {batch_shape}")
+        return jax.vmap(lambda k: jax.random.uniform(k, (count,), dtype=dtype))(key)
+    return jax.random.uniform(key, (*batch_shape, count), dtype=dtype)
+
+
 def stratified_samples(
     key: jax.Array,
     near,
@@ -31,7 +42,7 @@ def stratified_samples(
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Jittered equal-bin samples of [near, far] -> (*batch_shape, count)."""
-    u = jax.random.uniform(key, (*batch_shape, count), dtype=dtype)
+    u = _batched_uniform(key, batch_shape, count, dtype)
     interval = (far - near) / count
     lower = near + jnp.arange(count, dtype=dtype) * interval
     return lower + interval * u
@@ -67,7 +78,7 @@ def importance_samples(
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf[..., :-1],
                            jnp.ones_like(cdf[..., :1])], axis=-1)  # (..., Nc-1), last forced to 1
 
-    u = jax.random.uniform(key, (*ts.shape[:-1], count), dtype=ts.dtype)
+    u = _batched_uniform(key, ts.shape[:-1], count, ts.dtype)
 
     # Bin lookup, TPU-style: cdf is strictly increasing (pdf >= pdf_eps/sum),
     # so "first j with cdf[j] <= u < cdf[j+1]" (the reference's linear scan)

@@ -1,0 +1,88 @@
+"""Multi-chip image rendering: rays sharded over the mesh via shard_map.
+
+The TPU-native replacement for the reference's rayon par_iter over 8x8
+pixel blocks (/root/reference/src/lib.rs:532-550): the pixel grid becomes
+one flat ray axis, sharded across every chip of a `jax.sharding.Mesh`;
+each chip runs the same single-device chunked render (Pallas kernels
+included — shard_map gives each device its own program, which is how
+Pallas composes with SPMD). Parameters are replicated; no collectives are
+needed in the forward render, and the host gathers pixel shards exactly
+like the reference's scatter into the flat image (lib.rs:552-557).
+
+Because RNG streams are derived from *global* ray indices
+(render.render_rays ray_ids), the sharded render is bitwise identical to
+the single-device render.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from nerf_rs_tpu.config import RenderConfig
+from nerf_rs_tpu.ops.rays import Camera, camera_rays
+from nerf_rs_tpu.parallel.mesh import RAY_AXIS, make_mesh
+from nerf_rs_tpu.render import _render_flat
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("n_per_dev", "cfg", "mesh"))
+def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
+                         far, key, n_per_dev: int, cfg: RenderConfig, mesh):
+    def per_device(dirs_shard):
+        dev = jax.lax.axis_index(RAY_AXIS)
+        base = (dev * n_per_dev).astype(jnp.int32)
+        return _render_flat(params_coarse, params_fine, origin, dirs_shard,
+                            near, far, key, n_per_dev, cfg, ray_id_base=base)
+
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(RAY_AXIS),),
+        out_specs=P(RAY_AXIS),
+    )
+    return fn(dirs_flat)
+
+
+def render_image_sharded(
+    params_coarse,
+    params_fine,
+    camera: Camera,
+    height: int,
+    width: int,
+    key: jax.Array,
+    cfg: Optional[RenderConfig] = None,
+    mesh=None,
+) -> jnp.ndarray:
+    """Render (height, width, 3) with rays data-parallel over the mesh.
+
+    Bitwise identical to render.render_image for the same key thanks to
+    global-ray-index RNG streams.
+    """
+    cfg = cfg or RenderConfig()
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    _, dirs = camera_rays(camera, height, width)
+    n = height * width
+
+    chunk = min(cfg.ray_chunk, _round_up(max(n // n_dev, 1), 128))
+    n_per_dev = _round_up(-(-n // n_dev), chunk)
+    n_pad = n_per_dev * n_dev
+    dirs_flat = dirs.reshape(n, 3)
+    if n_pad > n:
+        dirs_flat = jnp.concatenate(
+            [dirs_flat, jnp.ones((n_pad - n, 3), dirs.dtype)], axis=0
+        )
+    rgb = _render_flat_sharded(
+        params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
+        jnp.asarray(camera.near), jnp.asarray(camera.far), key,
+        n_per_dev, cfg, mesh,
+    )
+    return rgb[:n].reshape(height, width, 3)

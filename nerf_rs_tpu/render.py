@@ -66,6 +66,7 @@ def render_rays(
     key: jax.Array,
     cfg: RenderConfig,
     *,
+    ray_ids: Optional[jnp.ndarray] = None,
     return_aux: bool = False,
 ):
     """Render a batch of rays.
@@ -74,10 +75,20 @@ def render_rays(
     dirs: (..., 3) *unit* directions. Returns fine RGB (..., 3); with
     ``return_aux`` also a dict holding the coarse image, weights, and
     t-values (used by training and tests).
+
+    ``ray_ids`` (flat (B,) int32, dirs must then be (B, 3)): derive one RNG
+    stream per ray by folding the global ray index into ``key`` — the render
+    becomes bitwise invariant to chunking and to device sharding (the
+    reference's thread_rng has no such property, lib.rs:375,407).
     """
     mlp = get_mlp_fn(cfg)
     batch_shape = dirs.shape[:-1]
     k_coarse, k_fine = jax.random.split(key)
+    if ray_ids is not None:
+        if dirs.ndim != 2:
+            raise ValueError("ray_ids requires flat (B, 3) dirs")
+        k_coarse = jax.vmap(lambda i: jax.random.fold_in(k_coarse, i))(ray_ids)
+        k_fine = jax.vmap(lambda i: jax.random.fold_in(k_fine, i))(ray_ids)
 
     # --- coarse pass (reference lib.rs:375-404) ---
     t_c = stratified_samples(k_coarse, near, far, cfg.n_coarse, batch_shape)
@@ -117,17 +128,21 @@ def render_rays(
 
 @functools.partial(jax.jit, static_argnames=("n_rays_padded", "cfg"))
 def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
-                 n_rays_padded: int, cfg: RenderConfig):
-    """Chunked render of (N_padded, 3) unit dirs via lax.map."""
+                 n_rays_padded: int, cfg: RenderConfig, ray_id_base: jnp.ndarray = 0):
+    """Chunked render of (N_padded, 3) unit dirs via lax.map. Per-ray RNG
+    streams are derived from the GLOBAL ray index (ray_id_base + position),
+    so the result is independent of the chunk size and of how rays were
+    sharded across devices."""
     chunk = min(cfg.ray_chunk, n_rays_padded)
     n_chunks = n_rays_padded // chunk
     dirs_chunks = dirs_flat.reshape(n_chunks, chunk, 3)
 
     def body(args):
         idx, d = args
+        ids = ray_id_base + idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         return render_rays(
             params_coarse, params_fine, origin, d, near, far,
-            jax.random.fold_in(key, idx), cfg,
+            key, cfg, ray_ids=ids,
         )
 
     out = jax.lax.map(body, (jnp.arange(n_chunks), dirs_chunks))

@@ -74,6 +74,35 @@ def test_render_image_vs_reference_ppm(lego_params, golden):
     assert score > 14.0, f"PSNR vs reference render too low: {score:.2f} dB"
 
 
+def test_render_sharded_matches_single_device(lego_params, golden):
+    """Rays sharded over an 8-device mesh render BITWISE identically to the
+    single-device path (global-ray-index RNG streams)."""
+    from nerf_rs_tpu.parallel.mesh import make_mesh
+    from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cam = camera_from_golden(golden)
+    key = jax.random.key(3)
+    single = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                          16, 16, key, SMALL_CFG)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = render_image_sharded(lego_params["coarse"], lego_params["fine"],
+                                   cam, 16, 16, key, SMALL_CFG, mesh)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_render_chunk_invariant(lego_params, golden):
+    """Per-ray RNG streams make the image independent of ray_chunk."""
+    cam = camera_from_golden(golden)
+    key = jax.random.key(4)
+    a = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+                     key, RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64))
+    b = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+                     key, RenderConfig(n_coarse=16, n_fine=32, ray_chunk=256))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_render_deterministic(lego_params, golden):
     """Counter-based keys => bitwise reproducible renders (unlike the
     reference's thread_rng)."""
