@@ -292,6 +292,14 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_export)
 
+    p = sub.add_parser("serve", help="HTTP browser viewer (reference web UI)")
+    p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--warmup", action="store_true")
+    p.set_defaults(fn=lambda a: __import__(
+        "nerf_rs_tpu.serve", fromlist=["main"]
+    ).main(["--port", str(a.port), "--host", a.host] + (["--warmup"] if a.warmup else [])))
+
     p = sub.add_parser("info", help="device/mesh info")
     p.set_defaults(fn=cmd_info)
 

@@ -74,3 +74,11 @@ def save_png(path, pixels: np.ndarray, height: int, width: int) -> None:
 
     rgb = quantize_u8(np.asarray(pixels).reshape(height, width, 3))
     Image.fromarray(rgb, mode="RGB").save(path)
+
+
+def load_png(path) -> np.ndarray:
+    """Read a PNG into a float32 (H, W, 3) array in [0, 1]."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+    return img / 255.0
