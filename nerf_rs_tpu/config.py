@@ -32,6 +32,8 @@ class RenderConfig:
     ray_chunk: int = 8192       # rays per lax.map chunk when rendering images
     impl: str = "xla"           # MLP implementation: "xla" | "pallas"
     dtype: str = "float32"      # compute dtype for the MLP: "float32" | "bfloat16"
+    sampling_impl: str = "xla"  # resampling chain: "xla" | "pallas" (fused kernel;
+    #                             inference path only, Nc=64/Nf=128 specialization)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

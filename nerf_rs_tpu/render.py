@@ -98,13 +98,29 @@ def render_rays(
     rgb_c, sigma_c = mlp(
         params_coarse, pts_c, dirs[..., None, :], sigma_only=not return_aux
     )
-    w_c = compute_weights(sigma_c, t_c, far, t_threshold=cfg.t_threshold)
 
     # --- hierarchical resampling (lib.rs:406-421) ---
-    t_extra = importance_samples(
-        k_fine, t_c, w_c, cfg.n_fine, pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps
+    use_fused_resample = (
+        cfg.sampling_impl == "pallas"
+        and not return_aux                       # fwd-only kernel
+        and (cfg.n_coarse, cfg.n_fine) == (64, 128)
+        and dirs.ndim == 2
     )
-    t_f = merge_samples(t_c, jax.lax.stop_gradient(t_extra))
+    if use_fused_resample:
+        from nerf_rs_tpu.ops.kernels.resample import fused_resample
+        from nerf_rs_tpu.ops.sampling import _batched_uniform
+
+        u = _batched_uniform(k_fine, batch_shape, cfg.n_fine, t_c.dtype)
+        t_f = jax.lax.stop_gradient(
+            fused_resample(t_c, sigma_c, u, far, t_threshold=cfg.t_threshold,
+                           pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
+        )
+    else:
+        w_c = compute_weights(sigma_c, t_c, far, t_threshold=cfg.t_threshold)
+        t_extra = importance_samples(
+            k_fine, t_c, w_c, cfg.n_fine, pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps
+        )
+        t_f = merge_samples(t_c, jax.lax.stop_gradient(t_extra))
 
     # --- fine pass (lib.rs:423-459) ---
     pts_f = origin[..., None, :] + dirs[..., None, :] * t_f[..., :, None]

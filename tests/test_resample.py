@@ -1,0 +1,94 @@
+"""Fused resampling kernel vs the XLA reference chain (interpret mode on
+CPU; Mosaic-compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_rs_tpu.config import RenderConfig
+from nerf_rs_tpu.ops.kernels.resample import fused_resample
+from nerf_rs_tpu.ops.sampling import (
+    _batched_uniform,
+    importance_samples,
+    merge_samples,
+)
+from nerf_rs_tpu.ops.volume import compute_weights
+
+
+def _xla_chain(t_c, sigma_c, u, far, cfg):
+    w_c = compute_weights(sigma_c, t_c, far, t_threshold=cfg.t_threshold)
+    # importance_samples with the same uniforms the kernel gets: inline its
+    # math (it normally draws u from a key).
+    bins = 0.5 * (t_c[..., 1:] + t_c[..., :-1])
+    pdf_w = jnp.maximum(w_c[..., 1:-1], 0.0) + cfg.pdf_eps
+    pdf = pdf_w / jnp.sum(pdf_w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf[..., :-1],
+                           jnp.ones_like(cdf[..., :1])], axis=-1)
+    one_hot = ((u[..., :, None] >= cdf[..., None, :-1])
+               & (u[..., :, None] < cdf[..., None, 1:])).astype(t_c.dtype)
+    sel = jnp.einsum("...cb,...bk->...ck", one_hot,
+                     jnp.stack([cdf[..., :-1], cdf[..., 1:],
+                                bins[..., :-1], bins[..., 1:]], axis=-1))
+    cdf_lo, cdf_hi, bin_lo, bin_hi = (sel[..., i] for i in range(4))
+    frac = (u - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, cfg.cdf_eps)
+    t_extra = bin_lo + (bin_hi - bin_lo) * frac
+    return merge_samples(t_c, t_extra)
+
+
+def _inputs(n, seed=0, spiky=False):
+    rng = np.random.default_rng(seed)
+    u01 = rng.uniform(size=(n, 64)).astype(np.float32)
+    t_c = 2.0 + (np.arange(64, dtype=np.float32) + u01) * (4.0 / 64)
+    sigma = rng.uniform(0, 30.0 if spiky else 2.0, size=(n, 64)).astype(np.float32)
+    if spiky:
+        sigma[:, 40:] = 100.0          # trigger the T < 1e-4 early-out
+    u = rng.uniform(size=(n, 128)).astype(np.float32)
+    return jnp.asarray(t_c), jnp.asarray(sigma), jnp.asarray(u)
+
+
+def test_fused_resample_matches_xla():
+    cfg = RenderConfig()
+    t_c, sigma, u = _inputs(96, seed=0)
+    got = fused_resample(t_c, sigma, u, 6.0, t_threshold=cfg.t_threshold,
+                         pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
+    want = _xla_chain(t_c, sigma, u, jnp.float32(6.0), cfg)
+    assert got.shape == (96, 192)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-5)
+
+
+def test_fused_resample_spiky_early_out():
+    """With saturating densities (T < 1e-4 early-out active), scan-order
+    float noise can move a u across a bin boundary — allow a <1% tail of
+    boundary flips but require everything else tight."""
+    cfg = RenderConfig()
+    t_c, sigma, u = _inputs(96, seed=1, spiky=True)
+    got = np.asarray(fused_resample(t_c, sigma, u, 6.0))
+    want = np.asarray(_xla_chain(t_c, sigma, u, jnp.float32(6.0), cfg))
+    err = np.abs(got - want)
+    assert (err > 1e-4).mean() < 0.01
+    assert err.max() < 0.05  # flips land within the (small) bin width
+
+
+def test_fused_resample_sorted_and_in_range():
+    t_c, sigma, u = _inputs(64, seed=2)
+    out = np.asarray(fused_resample(t_c, sigma, u, 6.0))
+    assert (np.diff(out, axis=-1) >= 0).all()
+    assert (out >= 2.0 - 1e-5).all() and (out <= 6.0 + 1e-5).all()
+
+
+def test_render_with_fused_sampling_close_to_xla(lego_params, golden):
+    """End-to-end: the pallas sampling path renders the same image as the
+    XLA path (same uniforms, different scan orderings -> allclose)."""
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.render import render_image
+
+    cam = camera_from_golden(golden)
+    key = jax.random.key(7)
+    base = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=256)
+    img_x = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                         8, 8, key, base)
+    img_p = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                         8, 8, key, base.replace(sampling_impl="pallas"))
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-3)
