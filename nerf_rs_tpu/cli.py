@@ -192,24 +192,44 @@ def cmd_train(args) -> int:
         dataset = DistillationDataset(teacher, cfg=cfg.render, seed=cfg.seed)
         print("no --data given: distilling from the pretrained lego networks")
 
+    # Preemption safety: SIGTERM/SIGINT request a graceful stop; the loop
+    # finishes the in-flight step, checkpoints, and exits 0 so a restarted
+    # job resumes from the same directory (the reference has no failure
+    # recovery at all — SURVEY.md §5).
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        print(f"received signal {signum}: checkpointing and stopping")
+        stop_requested["flag"] = True
+
+    old_handlers = {
+        s: signal.signal(s, _request_stop) for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
     key = jax.random.key(cfg.seed + 1)
     t0 = time.perf_counter()
     start_step = int(state.step)
-    for step, batch in enumerate(dataset.batches(cfg.batch_rays), start=start_step):
-        if step >= cfg.n_steps:
-            break
-        state, metrics = sharded_train_step(mesh, state, batch, jax.random.fold_in(key, step), cfg)
-        if step % args.log_every == 0 or step + 1 == cfg.n_steps:
-            m = {k: float(v) for k, v in metrics.items()}
-            rays_s = cfg.batch_rays * (step - start_step + 1) / (time.perf_counter() - t0)
-            print(f"step {step}: loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
-                  f"({rays_s:,.0f} rays/s fwd+bwd)")
-        if args.checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
+    try:
+        for step, batch in enumerate(dataset.batches(cfg.batch_rays), start=start_step):
+            if step >= cfg.n_steps or stop_requested["flag"]:
+                break
+            state, metrics = sharded_train_step(mesh, state, batch, jax.random.fold_in(key, step), cfg)
+            if step % args.log_every == 0 or step + 1 == cfg.n_steps:
+                m = {k: float(v) for k, v in metrics.items()}
+                rays_s = cfg.batch_rays * (step - start_step + 1) / (time.perf_counter() - t0)
+                print(f"step {step}: loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
+                      f"({rays_s:,.0f} rays/s fwd+bwd)")
+            if args.checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
+                path = save_checkpoint(args.checkpoint_dir, state)
+                print(f"checkpointed {path}")
+    finally:
+        for s, h in old_handlers.items():
+            signal.signal(s, h)
+        if args.checkpoint_dir:
             path = save_checkpoint(args.checkpoint_dir, state)
-            print(f"checkpointed {path}")
-    if args.checkpoint_dir:
-        path = save_checkpoint(args.checkpoint_dir, state)
-        print(f"final checkpoint {path}")
+            print(f"final checkpoint {path}")
     return 0
 
 

@@ -87,3 +87,22 @@ def test_multihost_single_process_helpers():
     px = np.arange(30, dtype=np.float32).reshape(10, 3)
     out = gather_image_shards(px, 10)
     np.testing.assert_array_equal(out, px)
+
+
+def test_cli_train_distill_and_resume(tmp_path, assets_dir):
+    """Two tiny distillation train runs against the same checkpoint dir:
+    the second resumes from the first's step (checkpoint/resume path,
+    SIGTERM-safe loop shares the same save code)."""
+    ck = str(tmp_path / "ck")
+    args = ["train", "--steps", "2", "--batch-rays", "64",
+            "--coarse-samples", "4", "--fine-samples", "8",
+            "--ray-chunk", "64", "--impl", "xla",
+            "--checkpoint-dir", ck, "--checkpoint-every", "100",
+            "--log-every", "1"]
+    assert main(args) == 0
+    from nerf_rs_tpu.io.checkpoint import latest_checkpoint
+
+    first = latest_checkpoint(ck)
+    assert first is not None and first.name == "step_00000002"
+    assert main([*args[:2], "4", *args[3:]]) == 0  # --steps 4, resumes at 2
+    assert latest_checkpoint(ck).name == "step_00000004"
