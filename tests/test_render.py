@@ -103,6 +103,26 @@ def test_render_chunk_invariant(lego_params, golden):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_render_image_vs_committed_golden(lego_params, golden):
+    """Tight image regression vs a render committed from this framework
+    (f32 XLA path, fixed key): any numerics drift in camera, sampling,
+    MLP, or compositing shows up here at high PSNR."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "lego_64x64_16c32f_key0.ppm")
+    cam = camera_from_golden(golden)
+    img = render_image(
+        lego_params["coarse"], lego_params["fine"], cam, 64, 64,
+        jax.random.key(0), RenderConfig(n_coarse=16, n_fine=32, ray_chunk=1024),
+    )
+    ref = load_ppm(path)
+    score = psnr(img, ref)
+    # u8 quantization alone caps agreement near ~50 dB; cross-backend float
+    # drift costs a little more.
+    assert score > 45.0, f"PSNR vs committed golden too low: {score:.2f} dB"
+
+
 def test_render_deterministic(lego_params, golden):
     """Counter-based keys => bitwise reproducible renders (unlike the
     reference's thread_rng)."""
