@@ -49,11 +49,13 @@ def nerf_mlp(
     *,
     x_freqs: int = 10,
     d_freqs: int = 4,
+    sigma_only: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the MLP at ``points`` (..., 3) with view dirs (..., 3).
 
     ``viewdirs`` broadcasts against points' batch shape. Returns
-    ``(rgb (..., 3), sigma (...,))``.
+    ``(rgb (..., 3), sigma (...,))``. With ``sigma_only`` the color branch
+    is skipped and rgb is zeros (coarse pass discards colors, lib.rs:404).
     """
     h0 = positional_encoding(points, x_freqs)
     h = h0
@@ -64,6 +66,8 @@ def nerf_mlp(
         h = jax.nn.relu(_dense(params, f"dense{i}", h))
 
     sigma = jax.nn.relu(_dense(params, "alpha", h))[..., 0]
+    if sigma_only:
+        return jnp.zeros((*sigma.shape, 3), sigma.dtype), sigma
 
     bottleneck = _dense(params, "bottleneck", h)
     dirs_enc = positional_encoding(viewdirs, d_freqs)

@@ -50,6 +50,7 @@ def get_mlp_fn(cfg: RenderConfig):
             viewdirs.astype(dt),
             x_freqs=cfg.x_freqs,
             d_freqs=cfg.d_freqs,
+            sigma_only=sigma_only,
         )
         return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
 
