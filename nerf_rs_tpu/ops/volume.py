@@ -27,6 +27,15 @@ def sample_deltas(ts: jnp.ndarray, far) -> jnp.ndarray:
     return jnp.maximum(deltas, 0.0)
 
 
+def exclusive_transmittance(sigmas: jnp.ndarray, ts: jnp.ndarray, far) -> jnp.ndarray:
+    """T_k = prod_{j<k} (1 - alpha_j): the fraction of light reaching each
+    sample (the quantity the reference's early-out tests, lib.rs:276)."""
+    deltas = sample_deltas(ts, far)
+    alpha = 1.0 - jnp.exp(-sigmas * deltas)
+    trans = jnp.cumprod(1.0 - alpha, axis=-1)
+    return jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+
+
 def compute_weights(
     sigmas: jnp.ndarray,
     ts: jnp.ndarray,

@@ -22,6 +22,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerf_rs_tpu.config import RenderConfig
 from nerf_rs_tpu.models.mlp import nerf_mlp
@@ -57,6 +58,32 @@ def get_mlp_fn(cfg: RenderConfig):
     return xla_mlp
 
 
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _mlp_culled(mlp, params, pts, dirs_b, mask, capacity: int, sigma_only: bool):
+    """Evaluate the MLP only at masked sample rows via fixed-capacity
+    compaction (accel.compact_apply); culled/overflowed rows get sigma = 0
+    (exactly the contribution the reference's early-out assigns them)."""
+    from nerf_rs_tpu.accel import compact_apply
+
+    batch = pts.shape[:-1]
+    n = int(np.prod(batch))
+    rows = jnp.concatenate(
+        [pts.reshape(n, 3), jnp.broadcast_to(dirs_b, pts.shape).reshape(n, 3)],
+        axis=-1,
+    )
+
+    def fn(buf):
+        rgb, sigma = mlp(params, buf[:, :3], buf[:, 3:6], sigma_only=sigma_only)
+        return rgb, sigma[:, None]
+
+    rgb, sigma, _ = compact_apply(fn, rows, mask.reshape(n), capacity,
+                                  (jnp.float32(0), jnp.float32(0)))
+    return rgb.reshape(*batch, 3), sigma.reshape(batch)
+
+
 def render_rays(
     params_coarse,
     params_fine,
@@ -68,6 +95,7 @@ def render_rays(
     cfg: RenderConfig,
     *,
     ray_ids: Optional[jnp.ndarray] = None,
+    grid=None,
     return_aux: bool = False,
 ):
     """Render a batch of rays.
@@ -81,24 +109,42 @@ def render_rays(
     stream per ray by folding the global ray index into ``key`` — the render
     becomes bitwise invariant to chunking and to device sharding (the
     reference's thread_rng has no such property, lib.rs:375,407).
+
+    ``grid`` (accel.OccupancyGrid, inference path only): skip MLP
+    evaluations for samples in empty space and past the coarse-estimated
+    ray termination — the opt-in fast mode (accel.py).
     """
     mlp = get_mlp_fn(cfg)
     batch_shape = dirs.shape[:-1]
+    n_rays = int(np.prod(batch_shape)) if batch_shape else 1
     k_coarse, k_fine = jax.random.split(key)
     if ray_ids is not None:
         if dirs.ndim != 2:
             raise ValueError("ray_ids requires flat (B, 3) dirs")
         k_coarse = jax.vmap(lambda i: jax.random.fold_in(k_coarse, i))(ray_ids)
         k_fine = jax.vmap(lambda i: jax.random.fold_in(k_fine, i))(ray_ids)
+    accel = grid is not None and not return_aux
 
     # --- coarse pass (reference lib.rs:375-404) ---
     t_c = stratified_samples(k_coarse, near, far, cfg.n_coarse, batch_shape)
     pts_c = origin[..., None, :] + dirs[..., None, :] * t_c[..., :, None]
     # The reference discards coarse colors (lib.rs:404) — skip the color
     # branch unless the caller needs the coarse image (training/aux).
-    rgb_c, sigma_c = mlp(
-        params_coarse, pts_c, dirs[..., None, :], sigma_only=not return_aux
-    )
+    if accel:
+        from nerf_rs_tpu.accel import query_occupancy
+
+        occ_c = query_occupancy(grid, pts_c)
+        cap_c = _round_up(
+            max(1, int(n_rays * cfg.n_coarse * cfg.accel_coarse_capacity)), 1024
+        )
+        rgb_c, sigma_c = _mlp_culled(
+            mlp, params_coarse, pts_c, dirs[..., None, :], occ_c, cap_c,
+            sigma_only=True,
+        )
+    else:
+        rgb_c, sigma_c = mlp(
+            params_coarse, pts_c, dirs[..., None, :], sigma_only=not return_aux
+        )
 
     # --- hierarchical resampling (lib.rs:406-421) ---
     use_fused_resample = (
@@ -125,7 +171,33 @@ def render_rays(
 
     # --- fine pass (lib.rs:423-459) ---
     pts_f = origin[..., None, :] + dirs[..., None, :] * t_f[..., :, None]
-    rgb_f, sigma_f = mlp(params_fine, pts_f, dirs[..., None, :])
+    if accel:
+        from nerf_rs_tpu.accel import query_occupancy
+        from nerf_rs_tpu.ops.volume import exclusive_transmittance
+
+        # Termination culling: past the coarse-estimated point where T
+        # drops below accel_t_threshold (under the render's 1e-4 early-out,
+        # lib.rs:276), fine samples cannot contribute. Coarse T collapses
+        # within ~one sample at hard surfaces while the fine surface can sit
+        # slightly later, so the cut is padded by accel_t_slack_bins coarse
+        # bins of *distance* (a smaller T threshold alone does not help).
+        mask_f = query_occupancy(grid, pts_f)
+        if cfg.accel_t_threshold > 0.0:
+            t_excl = exclusive_transmittance(sigma_c, t_c, far)
+            live = t_excl >= cfg.accel_t_threshold
+            slack = cfg.accel_t_slack_bins * (far - near) / cfg.n_coarse
+            t_term = jnp.max(jnp.where(live, t_c, near), axis=-1, keepdims=True)
+            mask_f = mask_f & (t_f <= t_term + slack)
+        cap_f = _round_up(
+            max(1, int(n_rays * (cfg.n_coarse + cfg.n_fine)
+                       * cfg.accel_fine_capacity)), 1024
+        )
+        rgb_f, sigma_f = _mlp_culled(
+            mlp, params_fine, pts_f, dirs[..., None, :], mask_f, cap_f,
+            sigma_only=False,
+        )
+    else:
+        rgb_f, sigma_f = mlp(params_fine, pts_f, dirs[..., None, :])
     w_f = compute_weights(sigma_f, t_f, far, t_threshold=cfg.t_threshold)
     rgb = composite(rgb_f, w_f, white_background=cfg.white_background)
 
@@ -145,7 +217,8 @@ def render_rays(
 
 @functools.partial(jax.jit, static_argnames=("n_rays_padded", "cfg"))
 def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
-                 n_rays_padded: int, cfg: RenderConfig, ray_id_base: jnp.ndarray = 0):
+                 n_rays_padded: int, cfg: RenderConfig, ray_id_base: jnp.ndarray = 0,
+                 grid=None):
     """Chunked render of (N_padded, 3) unit dirs via lax.map. Per-ray RNG
     streams are derived from the GLOBAL ray index (ray_id_base + position),
     so the result is independent of the chunk size and of how rays were
@@ -159,7 +232,7 @@ def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
         ids = ray_id_base + idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         return render_rays(
             params_coarse, params_fine, origin, d, near, far,
-            key, cfg, ray_ids=ids,
+            key, cfg, ray_ids=ids, grid=grid,
         )
 
     out = jax.lax.map(body, (jnp.arange(n_chunks), dirs_chunks))
@@ -174,8 +247,10 @@ def render_image(
     width: int,
     key: jax.Array,
     cfg: Optional[RenderConfig] = None,
+    grid=None,
 ) -> jnp.ndarray:
-    """Render a full (height, width, 3) image on the current device(s)."""
+    """Render a full (height, width, 3) image on the current device(s).
+    Pass an accel.OccupancyGrid as ``grid`` for empty-space skipping."""
     cfg = cfg or RenderConfig()
     _, dirs = camera_rays(camera, height, width)
     n = height * width
@@ -187,5 +262,6 @@ def render_image(
     rgb = _render_flat(
         params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
         jnp.asarray(camera.near), jnp.asarray(camera.far), key, n + pad, cfg,
+        grid=grid,
     )
     return rgb[:n].reshape(height, width, 3)

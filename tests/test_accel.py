@@ -1,0 +1,96 @@
+"""Occupancy-grid acceleration: grid build, queries, compaction, and the
+image-level guarantee (accelerated render ~= exact render)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_rs_tpu.accel import (
+    OccupancyGrid,
+    build_occupancy_grid,
+    compact_apply,
+    query_occupancy,
+)
+from nerf_rs_tpu.config import RenderConfig
+from nerf_rs_tpu.io.golden import camera_from_golden
+from nerf_rs_tpu.models.mlp import nerf_mlp
+from nerf_rs_tpu.render import render_image
+
+
+def _sphere_grid(res=16, radius=0.5):
+    """Analytic grid: occupied inside a radius-0.5 sphere at the origin."""
+    c = -1.0 + (np.arange(res) + 0.5) * (2.0 / res)
+    gx, gy, gz = np.meshgrid(c, c, c, indexing="ij")
+    occ = (gx**2 + gy**2 + gz**2) < radius**2
+    return OccupancyGrid(
+        occ=jnp.asarray(occ),
+        aabb_min=jnp.full((3,), -1.0, jnp.float32),
+        aabb_max=jnp.full((3,), 1.0, jnp.float32),
+    )
+
+
+def test_query_occupancy_sphere():
+    grid = _sphere_grid()
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [0.9, 0.9, 0.9], [5.0, 0.0, 0.0],
+                       [0.3, 0.0, 0.0]], jnp.float32)
+    got = np.asarray(query_occupancy(grid, pts))
+    np.testing.assert_array_equal(got, [True, False, False, True])
+    # batched shapes preserved
+    got2 = query_occupancy(grid, pts.reshape(2, 2, 3))
+    assert got2.shape == (2, 2)
+
+
+def test_compact_apply_matches_dense():
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=64) < 0.4)
+
+    def fn(buf):
+        return (buf[:, :3] * 2.0, jnp.sum(buf, axis=1, keepdims=True))
+
+    a, b, n_live = compact_apply(fn, rows, mask, capacity=64, fills=(0.0, 0.0))
+    want_a = np.where(np.asarray(mask)[:, None], np.asarray(rows[:, :3]) * 2, 0)
+    want_b = np.where(np.asarray(mask)[:, None], np.asarray(rows).sum(1, keepdims=True), 0)
+    np.testing.assert_allclose(np.asarray(a), want_a, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), want_b, atol=1e-6)
+    assert int(n_live) == int(np.asarray(mask).sum())
+
+
+def test_compact_apply_overflow_falls_back_to_fill():
+    rows = jnp.ones((32, 2), jnp.float32)
+    mask = jnp.ones((32,), bool)
+
+    def fn(buf):
+        return (buf * 3.0,)
+
+    (out, n_live) = compact_apply(fn, rows, mask, capacity=8, fills=(-1.0,))
+    out = np.asarray(out)
+    assert (out[:8] == 3.0).all()          # first 8 live rows evaluated
+    assert (out[8:] == -1.0).all()          # overflow -> fill
+    assert int(n_live) == 8
+
+
+def test_build_grid_and_accel_render_close_to_exact(lego_params, golden):
+    """End-to-end: accelerated lego render within tight PSNR of the exact
+    render (the accel contract from accel.py's docstring)."""
+    from nerf_rs_tpu.accel import build_scene_grid
+
+    cfg = RenderConfig(n_coarse=32, n_fine=64, ray_chunk=256)
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=48, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=48 * 48 * 48, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    frac = float(jnp.mean(grid.occ.astype(jnp.float32)))
+    assert 0.005 < frac < 0.6, f"implausible occupancy fraction {frac}"
+
+    cam = camera_from_golden(golden)
+    key = jax.random.key(11)
+    exact = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                         16, 16, key, cfg)
+    fast = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                        16, 16, key, cfg, grid=grid)
+    mse = float(jnp.mean((exact - fast) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, f"accel render deviates: {psnr:.1f} dB"
