@@ -10,7 +10,9 @@ vs_baseline is value / 10e6 — the 10M rays/s/chip north-star target
 Env knobs: NERF_BENCH_SIZE (default 800), NERF_BENCH_IMPL (xla|pallas),
 NERF_BENCH_DTYPE (float32|bfloat16), NERF_BENCH_REPEATS (default 3),
 NERF_BENCH_SAMPLING (xla|pallas), NERF_BENCH_ACCEL (0|1: occupancy-grid
-empty-space skipping — PSNR-validated fast mode, tests/test_accel.py).
+empty-space skipping — PSNR-validated fast mode, tests/test_accel.py),
+NERF_BENCH_MODE (render|train: train measures full fwd+bwd+psum optimizer
+steps in rays/s with the same 64+128 sample config).
 """
 
 from __future__ import annotations
@@ -19,6 +21,52 @@ import json
 import os
 import sys
 import time
+
+
+def _bench_train(cfg, repeats: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_rs_tpu.config import TrainConfig
+    from nerf_rs_tpu.parallel.mesh import make_mesh
+    from nerf_rs_tpu.parallel.train_sharded import (
+        create_sharded_train_state,
+        sharded_train_step,
+    )
+
+    batch_rays = 16384
+    tcfg = TrainConfig(batch_rays=batch_rays, render=cfg.replace(ray_chunk=batch_rays))
+    mesh, state = create_sharded_train_state(jax.random.key(0), tcfg)
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(batch_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = {
+        "origins": jnp.tile(jnp.asarray([[0.0, -4.0, 1.0]], jnp.float32), (batch_rays, 1)),
+        "dirs": jnp.asarray(dirs),
+        "rgb": jnp.asarray(rng.uniform(size=(batch_rays, 3)).astype(np.float32)),
+        "near": jnp.float32(2.0),
+        "far": jnp.float32(6.0),
+    }
+    key = jax.random.key(1)
+    state, metrics = sharded_train_step(mesh, state, batch, key, tcfg)  # compile
+    np.asarray(metrics["loss"])
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        state, metrics = sharded_train_step(mesh, state, batch,
+                                            jax.random.fold_in(key, i), tcfg)
+        np.asarray(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    rays_per_s = batch_rays / min(times)
+    n_chips = jax.device_count()
+    print(json.dumps({
+        "metric": f"train rays/s (fwd+bwd+opt), 64+128 samples, "
+                  f"{cfg.impl}/{cfg.dtype}, {n_chips} chip(s)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / (n_chips * 1_000_000.0), 4),
+    }))
 
 
 def main() -> None:
@@ -44,6 +92,8 @@ def main() -> None:
 
     cfg = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=16384, impl=impl,
                        dtype=dtype, sampling_impl=sampling)
+    if os.environ.get("NERF_BENCH_MODE", "render") == "train":
+        return _bench_train(cfg, repeats)
     # bfloat16 keeps image-level parity (~40 dB PSNR vs the f32 oracle, same
     # as f32-pallas: both are limited by resampling chaos, not precision).
 

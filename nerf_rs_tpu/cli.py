@@ -77,12 +77,10 @@ def cmd_render(args) -> int:
     if args.sharded:
         from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
 
-        if grid is not None:
-            print("note: --accel is single-device for now; ignoring for --sharded")
-
         def run(k):
             return render_image_sharded(params["coarse"], params["fine"],
-                                        camera, args.height, args.width, k, cfg)
+                                        camera, args.height, args.width, k, cfg,
+                                        grid=grid)
     else:
         def run(k):
             return render_image(params["coarse"], params["fine"], camera,

@@ -36,12 +36,14 @@ def _round_up(v: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n_per_dev", "cfg", "mesh"))
 def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
-                         far, key, n_per_dev: int, cfg: RenderConfig, mesh):
+                         far, key, n_per_dev: int, cfg: RenderConfig, mesh,
+                         grid=None):
     def per_device(dirs_shard):
         dev = jax.lax.axis_index(RAY_AXIS)
         base = (dev * n_per_dev).astype(jnp.int32)
         return _render_flat(params_coarse, params_fine, origin, dirs_shard,
-                            near, far, key, n_per_dev, cfg, ray_id_base=base)
+                            near, far, key, n_per_dev, cfg, ray_id_base=base,
+                            grid=grid)
 
     fn = shard_map(
         per_device, mesh=mesh,
@@ -60,11 +62,13 @@ def render_image_sharded(
     key: jax.Array,
     cfg: Optional[RenderConfig] = None,
     mesh=None,
+    grid=None,
 ) -> jnp.ndarray:
     """Render (height, width, 3) with rays data-parallel over the mesh.
 
     Bitwise identical to render.render_image for the same key thanks to
-    global-ray-index RNG streams.
+    global-ray-index RNG streams. ``grid`` (accel.OccupancyGrid) is
+    replicated to every device.
     """
     cfg = cfg or RenderConfig()
     mesh = mesh or make_mesh()
@@ -83,6 +87,6 @@ def render_image_sharded(
     rgb = _render_flat_sharded(
         params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
         jnp.asarray(camera.near), jnp.asarray(camera.far), key,
-        n_per_dev, cfg, mesh,
+        n_per_dev, cfg, mesh, grid=grid,
     )
     return rgb[:n].reshape(height, width, 3)
