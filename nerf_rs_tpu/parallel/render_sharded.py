@@ -49,6 +49,8 @@ def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
         per_device, mesh=mesh,
         in_specs=(P(RAY_AXIS),),
         out_specs=P(RAY_AXIS),
+        # Pallas calls don't carry varying-mesh-axis metadata yet.
+        check_vma=False,
     )
     return fn(dirs_flat)
 

@@ -92,6 +92,25 @@ def test_render_sharded_matches_single_device(lego_params, golden):
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
 
 
+def test_render_sharded_pallas_impl(lego_params, golden):
+    """The fused Pallas MLP composes with shard_map (each device runs its
+    own kernel program) and stays bitwise equal to single-device."""
+    from nerf_rs_tpu.parallel.mesh import make_mesh
+    from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=128, impl="pallas")
+    cam = camera_from_golden(golden)
+    key = jax.random.key(3)
+    single = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                          16, 16, key, cfg)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = render_image_sharded(lego_params["coarse"], lego_params["fine"],
+                                   cam, 16, 16, key, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
 def test_render_chunk_invariant(lego_params, golden):
     """Per-ray RNG streams make the image independent of ray_chunk."""
     cam = camera_from_golden(golden)
