@@ -142,6 +142,9 @@ def compact_apply(
     the buffer, and results scatter back to full shape. Returns
     (outputs..., n_live) with each output (N, ...) matching fn's per-row
     outputs; ``fills`` supplies the value for masked-off/overflowed rows.
+    ``n_live`` is the TRUE number of masked rows (it can exceed
+    ``capacity`` — callers should treat n_live > capacity as an overflow
+    signal and raise the capacity fraction).
     """
     n = rows.shape[0]
     mask = mask.reshape(n)
@@ -158,4 +161,4 @@ def compact_apply(
         keep = (dest < capacity)
         keep = keep.reshape((n,) + (1,) * (out.ndim - 1))
         gathered.append(jnp.where(keep, g, fill))
-    return (*gathered, jnp.minimum(live_total, capacity))
+    return (*gathered, live_total)

@@ -48,6 +48,7 @@ def _render_config(args):
         ray_chunk=args.ray_chunk,
         impl=args.impl,
         dtype=args.dtype,
+        sampling_impl=getattr(args, "sampling_impl", "xla"),
     )
 
 
@@ -189,7 +190,11 @@ def cmd_train(args) -> int:
     if args.checkpoint_dir:
         ckpt = latest_checkpoint(args.checkpoint_dir)
         if ckpt is not None:
-            state = restore_checkpoint(ckpt, state)
+            from nerf_rs_tpu.parallel.mesh import replicate
+
+            # Restored leaves are host numpy — re-commit to the mesh with the
+            # replicated sharding the fresh-start path uses.
+            state = replicate(mesh, restore_checkpoint(ckpt, state))
             print(f"resumed from {ckpt} at step {int(state.step)}")
 
     if args.data:
@@ -223,7 +228,10 @@ def cmd_train(args) -> int:
     t0 = time.perf_counter()
     start_step = int(state.step)
     try:
-        for step, batch in enumerate(dataset.batches(cfg.batch_rays), start=start_step):
+        # Seed folds in the resume step so a restored run draws fresh batches
+        # instead of replaying the sequence from the beginning.
+        batch_iter = dataset.batches(cfg.batch_rays, seed=cfg.seed + start_step)
+        for step, batch in enumerate(batch_iter, start=start_step):
             if step >= cfg.n_steps or stop_requested["flag"]:
                 break
             state, metrics = sharded_train_step(mesh, state, batch, jax.random.fold_in(key, step), cfg)
@@ -276,6 +284,8 @@ def _add_common(p):
     p.add_argument("--weights", help="weight bundle dir (default: auto-discover)")
     p.add_argument("--camera", help="camera JSON (default: bundle's golden JSON)")
     p.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    p.add_argument("--sampling-impl", default="xla", choices=["xla", "pallas"],
+                   help="resampling chain: fused Pallas kernel or XLA ops")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--coarse-samples", type=int, default=64)
     p.add_argument("--fine-samples", type=int, default=128)

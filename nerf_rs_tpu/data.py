@@ -29,21 +29,6 @@ from nerf_rs_tpu.config import RenderConfig
 from nerf_rs_tpu.ops.rays import Camera, camera_rays
 
 
-def _look_at_camera(position, target, up, focal_ratio, near, far) -> Camera:
-    forward = np.asarray(target, np.float32) - np.asarray(position, np.float32)
-    forward = forward / np.linalg.norm(forward)
-    alpha = np.arctan(0.5 / focal_ratio)
-    return Camera(
-        position=np.asarray(position, np.float32),
-        forward=forward.astype(np.float32),
-        up=np.asarray(up, np.float32),
-        alpha_width=np.float32(alpha),
-        alpha_height=np.float32(alpha),
-        near=np.float32(near),
-        far=np.float32(far),
-    )
-
-
 class BlenderDataset:
     """nerf_synthetic scene: images + per-frame cameras -> ray batches."""
 
@@ -137,10 +122,10 @@ class DistillationDataset:
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         return origins, dirs
 
-    def batches(self, batch_rays: int) -> Iterator[Dict]:
+    def batches(self, batch_rays: int, seed: int = 0) -> Iterator[Dict]:
         from nerf_rs_tpu.render import render_rays
 
-        key = jax.random.key(self.seed)
+        key = jax.random.key(self.seed + seed)
         step = 0
         while True:
             k = jax.random.fold_in(key, step)

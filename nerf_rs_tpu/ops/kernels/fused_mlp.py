@@ -384,7 +384,7 @@ def _kernel_bwd(cdt, fast_cos,
     acc_b(5, dh5)
     de = de + bwd_in("w5at", dh5)[:LANES]
     dh = (bwd_in("w5bt", dh5) * (h4 > 0)).astype(cdt)
-    for i, hin, hprev in ((4, h3, h2), (3, h2, h1), (2, h1, h0)):
+    for i, hin in ((4, h3), (3, h2), (2, h1)):
         acc_w(f"w{i}t", dh, hin)
         acc_b(i, dh)
         dh = (bwd_in(f"w{i}t", dh) * (hin > 0)).astype(cdt)
@@ -591,7 +591,11 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
             [g_rgb.reshape(n, 3), g_sigma.reshape(n, 1)], axis=-1
         ).astype(jnp.float32)
         g8 = jnp.pad(g6, ((0, n_pad - n), (0, 4))).T     # (8, n_pad)
-        bt = min(512, t)                                  # bwd holds all acts in VMEM
+        # Backward tile: smaller than the forward's (it holds every layer's
+        # activations in VMEM) but it MUST divide n_pad — a non-dividing
+        # tile would truncate the grid and silently drop tail samples from
+        # the gradients. n_pad is always a multiple of 128.
+        bt = next(b for b in (512, 256, 128) if n_pad % b == 0)
         blob, aux = pack_params(params, dtype)
         dx, dblob, daux = _backward_t(blob, aux, x, g8, dtype, bt, True, interpret)
         dparams = unpack_grads(dblob, daux)

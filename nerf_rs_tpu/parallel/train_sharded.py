@@ -22,13 +22,14 @@ from nerf_rs_tpu.train import TrainState, create_train_state, train_step
 
 
 def shard_batch(mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    """Leading-axis-shard the ray arrays; replicate scalars (near/far)."""
+    """Leading-axis-shard the per-ray arrays ((B, ...), ndim >= 2);
+    replicate scalars and single vectors like a shared (3,) origin."""
     ray_sh = ray_sharding(mesh)
     rep_sh = replicated_sharding(mesh)
     out = {}
     for k, v in batch.items():
         v = jnp.asarray(v)
-        out[k] = jax.device_put(v, ray_sh if v.ndim >= 1 and v.shape[0] > 1 else rep_sh)
+        out[k] = jax.device_put(v, ray_sh if v.ndim >= 2 else rep_sh)
     return out
 
 

@@ -61,6 +61,13 @@ class Handler(BaseHTTPRequestHandler):
             width = int(q.get("width", ["256"])[0])
             height = int(q.get("height", ["256"])[0])
             seed = int(q.get("seed", ["0"])[0])
+            if not (0 < width <= 2048 and 0 < height <= 2048):
+                msg = b"width/height must be in 1..2048"
+                self.send_response(400)
+                self.send_header("content-length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+                return
             try:
                 from nerf_rs_tpu.api import render_image_rgba
 

@@ -68,7 +68,7 @@ def test_compact_apply_overflow_falls_back_to_fill():
     out = np.asarray(out)
     assert (out[:8] == 3.0).all()          # first 8 live rows evaluated
     assert (out[8:] == -1.0).all()          # overflow -> fill
-    assert int(n_live) == 8
+    assert int(n_live) == 32                # TRUE live count signals overflow
 
 
 def test_build_grid_and_accel_render_close_to_exact(lego_params, golden):

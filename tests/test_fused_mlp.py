@@ -82,6 +82,27 @@ def test_fused_grads_match_oracle(rand_params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4)
 
 
+def test_fused_grads_nondivisible_batch(rand_params):
+    """Regression: batch sizes whose padded width is NOT a multiple of the
+    backward tile (e.g. 640) must still produce full gradients — a
+    non-dividing tile once silently truncated the grid and dropped tail
+    samples from dblob/dx."""
+    pts, dirs = _rand_inputs(640, seed=3)
+
+    def loss_fused(p):
+        rgb, sigma = fused_nerf_mlp(p, pts, dirs)
+        return jnp.mean(rgb) + 1e-3 * jnp.mean(sigma)
+
+    def loss_oracle(p):
+        rgb, sigma = nerf_mlp(p, pts, dirs)
+        return jnp.mean(rgb) + 1e-3 * jnp.mean(sigma)
+
+    g_f = jax.grad(loss_fused)(rand_params)
+    g_o = jax.grad(loss_oracle)(rand_params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_o)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4)
+
+
 def test_fused_sigma_only_matches_full(rand_params):
     """The coarse-pass variant returns the same sigma with zero rgb."""
     pts, dirs = _rand_inputs(64, seed=2)
