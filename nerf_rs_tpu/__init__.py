@@ -20,6 +20,7 @@ from nerf_rs_tpu.models.mlp import nerf_mlp, init_nerf_params
 from nerf_rs_tpu.models.encoding import positional_encoding
 from nerf_rs_tpu.io.weights import load_nerf_params, save_nerf_params
 from nerf_rs_tpu.render import render_rays, render_image
+from nerf_rs_tpu.accel import OccupancyGrid, build_scene_grid
 
 __version__ = "0.1.0"
 
@@ -33,5 +34,7 @@ __all__ = [
     "save_nerf_params",
     "render_rays",
     "render_image",
+    "OccupancyGrid",
+    "build_scene_grid",
     "__version__",
 ]
