@@ -252,6 +252,38 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Render a validation view with checkpoint params and report PSNR
+    against the pretrained teacher's render of the same view."""
+    import jax
+    import numpy as np
+
+    from nerf_rs_tpu.config import TrainConfig
+    from nerf_rs_tpu.io.checkpoint import latest_checkpoint, restore_checkpoint
+    from nerf_rs_tpu.render import render_image
+    from nerf_rs_tpu.train import create_train_state
+
+    teacher, camera = _load_scene(args)
+    cfg = _render_config(args)
+    ckpt = args.checkpoint or latest_checkpoint(args.checkpoint_dir)
+    if ckpt is None:
+        sys.exit("error: no checkpoint found (--checkpoint or --checkpoint-dir)")
+    template = create_train_state(jax.random.key(0), TrainConfig())
+    state = restore_checkpoint(ckpt, template)
+    params = jax.device_put(state.params)
+
+    key = jax.random.key(args.seed)
+    ref = np.asarray(render_image(teacher["coarse"], teacher["fine"], camera,
+                                  args.size, args.size, key, cfg))
+    img = np.asarray(render_image(params["coarse"], params["fine"], camera,
+                                  args.size, args.size, key, cfg))
+    mse = float(np.mean((img - ref) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    print(f"step {int(state.step)}: {args.size}x{args.size} PSNR vs teacher "
+          f"{psnr:.2f} dB (mse {mse:.3e})")
+    return 0
+
+
 def cmd_export(args) -> int:
     """Export a training checkpoint to the reference .bin format."""
     import jax
@@ -331,6 +363,13 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--log-every", type=int, default=20)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="checkpoint PSNR vs the pretrained teacher")
+    _add_common(p)
+    p.add_argument("--checkpoint", help="checkpoint path (default: latest in dir)")
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--size", type=int, default=64)
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("export", help="checkpoint -> reference .bin format")
     p.add_argument("--checkpoint", required=True)

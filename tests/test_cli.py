@@ -106,3 +106,14 @@ def test_cli_train_distill_and_resume(tmp_path, assets_dir):
     assert first is not None and first.name == "step_00000002"
     assert main([*args[:2], "4", *args[3:]]) == 0  # --steps 4, resumes at 2
     assert latest_checkpoint(ck).name == "step_00000004"
+
+
+def test_cli_evaluate(tmp_path, assets_dir, capsys):
+    ck = str(tmp_path / "ck")
+    base = ["--coarse-samples", "4", "--fine-samples", "8",
+            "--ray-chunk", "64", "--impl", "xla"]
+    assert main(["train", "--steps", "1", "--batch-rays", "64",
+                 *base, "--checkpoint-dir", ck, "--log-every", "1"]) == 0
+    assert main(["evaluate", "--checkpoint-dir", ck, "--size", "8", *base]) == 0
+    out = capsys.readouterr().out
+    assert "PSNR vs teacher" in out
