@@ -51,6 +51,7 @@ bfloat16 mode casts matmul inputs with f32 accumulation for speed.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -195,7 +196,7 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return blob, aux
 
 
-def _kernel_body(cdt, sigma_only, fast_cos,
+def _kernel_body(cdt, sigma_only, fast_cos, interleave,
                  x_ref, blob_ref, aux_ref, out_ref, ws, wa, sems):
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST
@@ -210,7 +211,23 @@ def _kernel_body(cdt, sigma_only, fast_cos,
         cp_w.wait()
         cp_a.wait()
 
-    x = x_ref[:]                                    # (8, T) f32
+    if interleave:
+        # Two independent half-tile chains: gives Mosaic's scheduler
+        # MXU-independent VPU work (encode/epilogues of one half can
+        # overlap matmuls of the other).
+        t = x_ref.shape[1] // 2
+        out_ref[:, 0:t] = _mlp_chain(cdt, sigma_only, fast_cos,
+                                     x_ref[:, 0:t], ws, wa)
+        out_ref[:, t:2 * t] = _mlp_chain(cdt, sigma_only, fast_cos,
+                                         x_ref[:, t:2 * t], ws, wa)
+    else:
+        out_ref[:] = _mlp_chain(cdt, sigma_only, fast_cos, x_ref[:], ws, wa)
+
+
+def _mlp_chain(cdt, sigma_only, fast_cos, x, ws, wa):
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    prec = hi if cdt == f32 else None
     g = wa[0:LANES, 0:8]                             # (128, 8) f32
     raw = jnp.dot(g, x, preferred_element_type=f32, precision=hi)  # (128, T)
 
@@ -252,13 +269,12 @@ def _kernel_body(cdt, sigma_only, fast_cos,
     row = jax.lax.broadcasted_iota(jnp.int32, sig8.shape, 0)
 
     if sigma_only:
-        out_ref[:] = jnp.where(row == 3, sig8, 0.0)
-        return
+        return jnp.where(row == 3, sig8, 0.0)
 
     bneck = lay("wbt", h8, 256, 8, relu=False).astype(cdt)
     hv = lay2("wvat", bneck, 256, "wvbt", enc, 128, 9).astype(cdt)
     rgb8 = jax.nn.sigmoid(lay("wrt", hv, 128, 11, relu=False)[0:8])  # rows 0:2
-    out_ref[:] = jnp.where(row == 3, sig8, jnp.where(row < 3, rgb8, 0.0))
+    return jnp.where(row == 3, sig8, jnp.where(row < 3, rgb8, 0.0))
 
 
 def _kernel_bwd(cdt, fast_cos,
@@ -498,15 +514,17 @@ _FLOPS_FULL = 2 * (
 _FLOPS_SIGMA = 2 * (LANES * 8 + 2 * _H * 64 + 7 * _H * _H + 16 * _H)
 
 
-def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret):
+def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
+               interleave=False):
     """x: (8, N) f32, N a multiple of ``tile`` -> (8, N) f32 out
     [rows 0-2 rgb, row 3 sigma]."""
     cdt = jnp.dtype(dtype)
     n = x.shape[1]
     grid = n // tile
+    interleave = interleave and tile % 256 == 0
     data_spec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel_body, cdt, sigma_only,
-                               fast_cos and cdt != jnp.float32)
+                               fast_cos and cdt != jnp.float32, interleave)
     flops = (_FLOPS_SIGMA if sigma_only else _FLOPS_FULL) * n
     return pl.pallas_call(
         kernel,
@@ -564,10 +582,16 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         x = jnp.pad(x6, ((0, n_pad - n), (0, 2))).T      # (8, n_pad)
         return x, n, t, batch_shape
 
+    # A/B flag (see PLAN.md item 3): split each forward tile into two
+    # independent chains so Mosaic can overlap one half's VPU epilogues
+    # with the other's MXU matmuls. Off by default until it wins on TPU.
+    interleave = os.environ.get("NERF_FUSED_INTERLEAVE", "0") == "1"
+
     def forward(params, points, viewdirs):
         x, n, t, batch_shape = pack_x(points, viewdirs)
         blob, aux = pack_params(params, dtype)
-        out = _forward_t(blob, aux, x, dtype, t, sigma_only, True, interpret)
+        out = _forward_t(blob, aux, x, dtype, t, sigma_only, True, interpret,
+                         interleave=interleave)
         sigma = out[3, :n].reshape(batch_shape)
         rgb = out[0:3, :n].T.reshape(*batch_shape, 3)
         return rgb, sigma

@@ -130,3 +130,22 @@ def test_pack_params_shapes(rand_params):
     np.testing.assert_allclose(raw[9:12, 0], [0.2, -0.4, 0.6], atol=1e-7)  # band 1 = 2x
     np.testing.assert_allclose(raw[64:67, 0], [0.5, 0.6, -0.7], atol=1e-7)  # dir identity
     np.testing.assert_allclose(raw[67:70, 0], [0.5, 0.6, -0.7], atol=1e-7)  # dir band 0 sin
+
+
+def test_forward_interleave_matches(rand_params):
+    """interleave=True (two half-tile chains per grid step) computes the
+    same per-column math; only ULP-level reassociation differs (XLA CPU
+    tiles a 256-wide dot differently from a 512-wide one in interpret
+    mode), so match to ~1 ULP rather than bitwise."""
+    from nerf_rs_tpu.ops.kernels.fused_mlp import _forward_t
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(8, 512)).astype(np.float32))
+    blob, aux = pack_params(rand_params, jnp.float32)
+    for sigma_only in (False, True):
+        a = _forward_t(blob, aux, x, jnp.float32, 512, sigma_only, False,
+                       True, interleave=False)
+        b = _forward_t(blob, aux, x, jnp.float32, 512, sigma_only, False,
+                       True, interleave=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
