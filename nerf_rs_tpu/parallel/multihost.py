@@ -73,3 +73,42 @@ def gather_image_shards(local_pixels: np.ndarray, n_rays: int) -> Optional[np.nd
     gathered = multihost_utils.process_allgather(local_pixels)
     full = np.concatenate([np.asarray(g) for g in gathered], axis=0)[:n_rays]
     return full if jax.process_index() == 0 else None
+
+
+def local_ray_rows(rgb_flat) -> np.ndarray:
+    """Host-local rows of a P("rays")-sharded global array, in global row
+    order (shards sorted by their global row offset)."""
+    shards = sorted(rgb_flat.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def render_image_multihost(
+    params_coarse,
+    params_fine,
+    camera,
+    height: int,
+    width: int,
+    key,
+    cfg=None,
+    grid=None,
+) -> Optional[np.ndarray]:
+    """Multi-process render: every process executes the same global
+    shard_map program over the global mesh (its devices compute their ray
+    shards), then host-gathers pixels to process 0.
+
+    Returns the (height, width, 3) image on process 0, None elsewhere —
+    the analogue of the reference's rayon scatter into one flat image
+    (lib.rs:552-557), with hosts in place of threads. Bitwise identical
+    to render.render_image on one device (global-ray-index RNG streams).
+    In a single-process runtime it degrades to render_image_sharded.
+    """
+    from nerf_rs_tpu.parallel.render_sharded import render_flat_sharded
+
+    rgb_flat, n = render_flat_sharded(
+        params_coarse, params_fine, camera, height, width, key, cfg,
+        grid=grid,
+    )
+    local = local_ray_rows(rgb_flat)
+    full = gather_image_shards(local, n)
+    return None if full is None else full.reshape(height, width, 3)

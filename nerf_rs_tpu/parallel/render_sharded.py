@@ -72,6 +72,29 @@ def render_image_sharded(
     global-ray-index RNG streams. ``grid`` (accel.OccupancyGrid) is
     replicated to every device.
     """
+    rgb, n = render_flat_sharded(
+        params_coarse, params_fine, camera, height, width, key, cfg, mesh,
+        grid=grid,
+    )
+    return rgb[:n].reshape(height, width, 3)
+
+
+def render_flat_sharded(
+    params_coarse,
+    params_fine,
+    camera: Camera,
+    height: int,
+    width: int,
+    key: jax.Array,
+    cfg: Optional[RenderConfig] = None,
+    mesh=None,
+    grid=None,
+):
+    """Flat variant: returns ((n_pad, 3) ray-sharded rgb, n_valid).
+
+    The rgb array keeps its P("rays") sharding — in a multi-process
+    runtime it is a global (not fully addressable) array whose local rows
+    are read via ``.addressable_shards`` (parallel/multihost.py)."""
     cfg = cfg or RenderConfig()
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
@@ -91,4 +114,4 @@ def render_image_sharded(
         jnp.asarray(camera.near), jnp.asarray(camera.far), key,
         n_per_dev, cfg, mesh, grid=grid,
     )
-    return rgb[:n].reshape(height, width, 3)
+    return rgb, n
