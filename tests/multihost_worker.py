@@ -33,13 +33,20 @@ def test_camera() -> Camera:
     )
 
 
-def main() -> int:
-    assert multihost.initialize() is True, "expected a multi-process runtime"
-    pid = jax.process_index()
-    nproc = jax.process_count()
-    print(f"[worker {pid}] procs={nproc} local_devices={jax.local_device_count()}"
-          f" global_devices={jax.device_count()}", flush=True)
+def train_batch(n: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return {
+        "origins": np.zeros((n, 3), np.float32),
+        "dirs": dirs,
+        "rgb": rng.uniform(size=(n, 3)).astype(np.float32),
+        "near": np.float32(2.0),
+        "far": np.float32(6.0),
+    }
 
+
+def _render_mode(pid: int) -> None:
     params_c = init_nerf_params(jax.random.key(0))
     params_f = init_nerf_params(jax.random.key(1))
     cfg = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=128)
@@ -51,6 +58,44 @@ def main() -> int:
         np.save(os.environ["OUT_NPY"], img)
     else:
         assert img is None
+
+
+def _train_mode(pid: int) -> None:
+    from nerf_rs_tpu.config import TrainConfig
+    from nerf_rs_tpu.parallel.train_sharded import (
+        create_sharded_train_state, sharded_train_step,
+    )
+
+    cfg = TrainConfig(
+        batch_rays=64,
+        render=RenderConfig(n_coarse=8, n_fine=8, ray_chunk=64),
+    )
+    mesh, state = create_sharded_train_state(jax.random.key(0), cfg)
+    batch = train_batch(cfg.batch_rays)
+    for _ in range(2):
+        state, metrics = sharded_train_step(
+            mesh, state, batch, jax.random.key(1), cfg
+        )
+    if pid == 0:
+        leaves = jax.tree_util.tree_leaves(state.params)
+        np.savez(
+            os.environ["OUT_NPY"],
+            loss=np.asarray(metrics["loss"].addressable_data(0)),
+            *[np.asarray(l.addressable_data(0)) for l in leaves],
+        )
+
+
+def main() -> int:
+    assert multihost.initialize() is True, "expected a multi-process runtime"
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    print(f"[worker {pid}] procs={nproc} local_devices={jax.local_device_count()}"
+          f" global_devices={jax.device_count()}", flush=True)
+
+    if os.environ.get("WORKER_MODE", "render") == "train":
+        _train_mode(pid)
+    else:
+        _render_mode(pid)
     return 0
 
 

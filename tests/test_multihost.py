@@ -1,12 +1,13 @@
-"""Real multi-process multihost runtime test.
+"""Real multi-process multihost runtime tests.
 
-Spawns 2 OS processes (2 virtual CPU devices each -> a 4-device global
-mesh), each running tests/multihost_worker.py: distributed initialize via
-env vars, a global shard_map render, and a host gather of the pixel shards
-to process 0. The gathered image must equal the single-process
-render_image bitwise (global-ray-index RNG streams make renders placement
-invariant). This is the cross-process analogue the reference cannot do at
-all (rayon threads only, lib.rs:474-565)."""
+Each test spawns 2 OS processes (2 virtual CPU devices each -> a 4-device
+global mesh), running tests/multihost_worker.py: distributed initialize via
+env vars (Gloo collectives), a global shard_map program, and host gathers.
+Results must match the single-process oracle — bitwise for rendering
+(global-ray-index RNG streams make renders placement invariant), to
+float tolerance for the data-parallel train step (cross-process grad
+all-reduce reassociates sums). This is the cross-process scaling the
+reference cannot do at all (rayon threads only, lib.rs:474-565)."""
 
 import os
 import socket
@@ -15,6 +16,9 @@ import sys
 
 import numpy as np
 
+import jax
+
+from nerf_rs_tpu.config import RenderConfig, TrainConfig
 
 
 def _free_port() -> int:
@@ -23,8 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_render_matches_single(tmp_path):
-    out = str(tmp_path / "img.npy")
+def _run_workers(out: str, mode: str) -> None:
     port = _free_port()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env_base = {
@@ -32,6 +35,7 @@ def test_two_process_render_matches_single(tmp_path):
         "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
         "JAX_NUM_PROCESSES": "2",
         "OUT_NPY": out,
+        "WORKER_MODE": mode,
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
         "JAX_PLATFORMS": "cpu",
         "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
@@ -59,15 +63,16 @@ def test_two_process_render_matches_single(tmp_path):
     for p, text in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{text}"
 
+
+def test_two_process_render_matches_single(tmp_path):
+    out = str(tmp_path / "img.npy")
+    _run_workers(out, "render")
     img = np.load(out)
 
     # Single-process oracle with identical params/camera/key/config.
-    import jax
-
     from nerf_rs_tpu.models.mlp import init_nerf_params
     from nerf_rs_tpu.render import render_image
     from tests.multihost_worker import test_camera as make_camera
-    from nerf_rs_tpu.config import RenderConfig
 
     ref = np.asarray(render_image(
         init_nerf_params(jax.random.key(0)), init_nerf_params(jax.random.key(1)),
@@ -75,3 +80,37 @@ def test_two_process_render_matches_single(tmp_path):
         RenderConfig(n_coarse=8, n_fine=16, ray_chunk=128),
     ))
     np.testing.assert_array_equal(img, ref)
+
+
+def test_two_process_train_step_matches_single(tmp_path):
+    out = str(tmp_path / "train.npz")
+    _run_workers(out, "train")
+    got = np.load(out)
+
+    from nerf_rs_tpu.train import create_train_state, train_step
+    from tests.multihost_worker import train_batch
+
+    cfg = TrainConfig(
+        batch_rays=64,
+        render=RenderConfig(n_coarse=8, n_fine=8, ray_chunk=64),
+    )
+    state = create_train_state(jax.random.key(0), cfg)
+    batch = {k: np.asarray(v) for k, v in train_batch(cfg.batch_rays).items()}
+    for _ in range(2):
+        state, metrics = train_step(state, batch, jax.random.key(1), cfg)
+
+    np.testing.assert_allclose(got["loss"], float(metrics["loss"]), rtol=1e-5)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    for i, leaf in enumerate(leaves):
+        # Cross-process psum (Gloo ring) reassociates the gradient sum, and
+        # for elements whose gradient is ~0 Adam still steps ~lr/sqrt(v) in
+        # whichever direction the noise points — a ULP of reassociation can
+        # flip that sign, moving single elements by up to ~2*lr per step.
+        # Bound the bulk tightly and allow a <0.1% tail within that step
+        # bound.
+        diff = np.abs(got[f"arr_{i}"] - np.asarray(leaf))
+        assert diff.max() < 4 * cfg.lr_init, \
+            f"param leaf {i}: max diff {diff.max()} exceeds the Adam step bound"
+        frac = (diff > 1e-4).mean()
+        assert frac < 1e-3, \
+            f"param leaf {i}: {frac:.2%} of elements diverged across processes"
