@@ -110,9 +110,10 @@ def main() -> None:
 
     grid = None
     if accel:
-        from nerf_rs_tpu.accel import build_scene_grid
+        from nerf_rs_tpu.accel import build_scene_grid, suggest_capacities
 
         grid = build_scene_grid(params_c, params_f, resolution=128)
+        cfg = suggest_capacities(grid, camera, size, size, cfg)
 
     key = jax.random.key(0)
     # Warmup / compile. Force a host transfer: on the tunneled 'axon'

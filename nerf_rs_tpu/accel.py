@@ -162,3 +162,56 @@ def compact_apply(
         keep = keep.reshape((n,) + (1,) * (out.ndim - 1))
         gathered.append(jnp.where(keep, g, fill))
     return (*gathered, live_total)
+
+
+def suggest_capacities(grid: OccupancyGrid, camera, height: int, width: int,
+                       cfg, margin: float = 1.3):
+    """Derive chunk-safe static capacity fractions for the accel path.
+
+    The accel capacities are jit-static fractions; too small and real
+    samples overflow to sigma = 0 (quality loss), too large and the MLP
+    batch shrinks less (speed loss). This measures what the image actually
+    needs: it casts the image's rays with render_image's exact chunking and
+    padding, samples every coarse bin at its jitter-free midpoint, and
+    queries the grid — pure lookups, no MLP evals (~n_rays*n_coarse cells,
+    a few ms). The coarse capacity becomes the occupied fraction of the
+    WORST chunk times ``margin`` (stratified jitter moves a sample only
+    within its bin, and the grid is dilated by one cell, so midpoints are a
+    faithful proxy); the fine capacity uses the all-fine-samples-occupied
+    upper bound of that worst chunk (importance resampling concentrates
+    fine samples inside occupied cells). Termination culling usually needs
+    less than the bound — tune accel_fine_capacity down if profiling shows
+    headroom.
+
+    Returns ``cfg`` with accel_{coarse,fine}_capacity replaced.
+    """
+    from nerf_rs_tpu.ops.rays import camera_rays
+
+    _, dirs = camera_rays(camera, height, width)
+    n = height * width
+    chunk = min(cfg.ray_chunk, max(n, 1))
+    pad = (-n) % chunk
+    dirs_flat = jnp.asarray(dirs, jnp.float32).reshape(n, 3)
+    if pad:
+        dirs_flat = jnp.concatenate(
+            [dirs_flat, jnp.ones((pad, 3), jnp.float32)], axis=0
+        )
+    near, far = float(camera.near), float(camera.far)
+    mids = near + (jnp.arange(cfg.n_coarse, dtype=jnp.float32) + 0.5) * (
+        (far - near) / cfg.n_coarse
+    )
+    origin = jnp.asarray(camera.position, jnp.float32)
+
+    @jax.jit
+    def worst_chunk_frac(dirs_chunks):
+        def body(d):
+            pts = origin + d[:, None, :] * mids[None, :, None]
+            return jnp.mean(query_occupancy(grid, pts).astype(jnp.float32))
+
+        return jnp.max(jax.lax.map(body, dirs_chunks))
+
+    worst = float(worst_chunk_frac(dirs_flat.reshape(-1, chunk, 3)))
+    coarse = min(1.0, margin * worst + 1e-3)
+    fine_ub = (worst * cfg.n_coarse + cfg.n_fine) / (cfg.n_coarse + cfg.n_fine)
+    fine = min(1.0, margin * fine_ub)
+    return cfg.replace(accel_coarse_capacity=coarse, accel_fine_capacity=fine)

@@ -67,14 +67,19 @@ def cmd_render(args) -> int:
           f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
     grid = None
     if args.accel:
-        from nerf_rs_tpu.accel import build_scene_grid
+        from nerf_rs_tpu.accel import build_scene_grid, suggest_capacities
 
         t0 = time.perf_counter()
         grid = build_scene_grid(params["coarse"], params["fine"],
                                 resolution=args.accel_res)
+        # Chunk-safe capacities for THIS camera/size: compaction overflow
+        # would silently zero real samples (accel.suggest_capacities).
+        cfg = suggest_capacities(grid, camera, args.height, args.width, cfg)
         frac = float(np.mean(np.asarray(grid.occ, np.float32)))
         print(f"occupancy grid {args.accel_res}^3 built in "
-              f"{time.perf_counter() - t0:.2f}s ({100 * frac:.1f}% occupied)")
+              f"{time.perf_counter() - t0:.2f}s ({100 * frac:.1f}% occupied; "
+              f"capacities {cfg.accel_coarse_capacity:.2f}/"
+              f"{cfg.accel_fine_capacity:.2f})")
     if args.sharded:
         from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
 

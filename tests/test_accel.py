@@ -94,3 +94,68 @@ def test_build_grid_and_accel_render_close_to_exact(lego_params, golden):
     mse = float(jnp.mean((exact - fast) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-12))
     assert psnr > 40.0, f"accel render deviates: {psnr:.1f} dB"
+
+
+def test_suggest_capacities_synthetic():
+    """suggest_capacities derives the coarse fraction from actual ray/grid
+    geometry: an empty grid suggests ~0, a solid grid suggests what the
+    rays actually traverse (bounded by time inside the AABB)."""
+    from nerf_rs_tpu.accel import suggest_capacities
+    from nerf_rs_tpu.ops.rays import Camera
+
+    cam = Camera(
+        position=np.asarray([0.0, 0.0, 3.0], np.float32),
+        forward=np.asarray([0.0, 0.0, -1.0], np.float32),
+        up=np.asarray([0.0, 1.0, 0.0], np.float32),
+        alpha_width=np.float32(0.3), alpha_height=np.float32(0.3),
+        near=np.float32(2.0), far=np.float32(6.0),
+    )
+    cfg = RenderConfig(n_coarse=32, n_fine=64, ray_chunk=256)
+
+    empty = OccupancyGrid(
+        occ=jnp.zeros((8, 8, 8), bool),
+        aabb_min=jnp.full((3,), -1.0, jnp.float32),
+        aabb_max=jnp.full((3,), 1.0, jnp.float32),
+    )
+    got = suggest_capacities(empty, cam, 16, 16, cfg)
+    assert got.accel_coarse_capacity < 0.01
+
+    solid = empty._replace(occ=jnp.ones((8, 8, 8), bool))
+    got = suggest_capacities(solid, cam, 16, 16, cfg)
+    # the 2-wide AABB spans half the 4-long sample range -> ~50% of samples
+    # inside, x margin 1.3
+    assert 0.4 < got.accel_coarse_capacity < 0.9
+    assert got.accel_fine_capacity > 0.9   # fine concentrates in occupancy
+
+
+def test_suggest_capacities_fixes_overflow(lego_params, golden):
+    """At image sizes where the default static capacities overflow (real
+    samples silently dropped to sigma=0), suggest_capacities restores the
+    >40 dB accel contract."""
+    from nerf_rs_tpu.accel import build_scene_grid, suggest_capacities
+
+    cfg = RenderConfig(n_coarse=32, n_fine=64, ray_chunk=2048)
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=48, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=48 * 48 * 48, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cam = camera_from_golden(golden)
+    key = jax.random.key(0)
+    size = 48
+    exact = np.asarray(render_image(lego_params["coarse"], lego_params["fine"],
+                                    cam, size, size, key, cfg))
+
+    def psnr(c):
+        fast = np.asarray(render_image(lego_params["coarse"], lego_params["fine"],
+                                       cam, size, size, key, c, grid=grid))
+        mse = float(np.mean((exact - fast) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))
+
+    # This scene/size overflows the default 0.25 coarse capacity (~46%
+    # of samples occupied) — quality visibly degrades...
+    assert psnr(cfg) < 40.0
+    # ...and the geometry-derived capacities restore the contract.
+    tuned = suggest_capacities(grid, cam, size, size, cfg)
+    assert tuned.accel_coarse_capacity > 0.4
+    assert psnr(tuned) > 40.0
