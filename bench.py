@@ -108,14 +108,17 @@ def main() -> None:
 
     import numpy as np
 
+    key = jax.random.key(0)
     grid = None
     if accel:
-        from nerf_rs_tpu.accel import build_scene_grid, suggest_capacities
+        from nerf_rs_tpu.accel import build_scene_grid, calibrate_capacities
 
         grid = build_scene_grid(params_c, params_f, resolution=128)
-        cfg = suggest_capacities(grid, camera, size, size, cfg)
+        # Measured capacities: one instrumented render, then the timed
+        # renders run with the post-culling live set + 15% margin.
+        cfg = calibrate_capacities(params_c, params_f, grid, camera,
+                                   size, size, key, cfg)
 
-    key = jax.random.key(0)
     # Warmup / compile. Force a host transfer: on the tunneled 'axon'
     # platform block_until_ready returns before execution completes.
     img = render_image(params_c, params_f, camera, size, size, key, cfg, grid=grid)

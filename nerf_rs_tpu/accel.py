@@ -215,3 +215,37 @@ def suggest_capacities(grid: OccupancyGrid, camera, height: int, width: int,
     fine_ub = (worst * cfg.n_coarse + cfg.n_fine) / (cfg.n_coarse + cfg.n_fine)
     fine = min(1.0, margin * fine_ub)
     return cfg.replace(accel_coarse_capacity=coarse, accel_fine_capacity=fine)
+
+
+def calibrate_capacities(params_coarse, params_fine, grid: OccupancyGrid,
+                         camera, height: int, width: int, key, cfg,
+                         margin: float = 1.15):
+    """Measure-then-tighten the accel capacity fractions.
+
+    Runs ONE instrumented render at capacity 1.0 (no overflow possible)
+    recording the true worst-chunk live sample counts of both passes, then
+    returns ``cfg`` with capacities set to measured/maximum x ``margin``.
+    Unlike suggest_capacities (geometry-only, conservative about the fine
+    pass because it cannot see termination culling), this measures what the
+    scene + sampler actually need, so the fine capacity tightens to the
+    post-culling live set — the knob that matters, since the fine pass is
+    ~2/3 of the FLOPs. One render of calibration cost; re-calibrate when
+    the camera moves substantially (capacities are jit-static, so a changed
+    value recompiles).
+
+    The stratified jitter differs per key; margin absorbs that (jitter
+    moves samples within their bin and the grid is dilated by one cell).
+    """
+    wide = cfg.replace(accel_coarse_capacity=1.0, accel_fine_capacity=1.0)
+    from nerf_rs_tpu.render import render_image
+
+    _, (live_c, live_f) = render_image(
+        params_coarse, params_fine, camera, height, width, key, wide,
+        grid=grid, return_live=True,
+    )
+    n = height * width
+    chunk = min(cfg.ray_chunk, max(n, 1))
+    coarse = min(1.0, margin * float(live_c) / (chunk * cfg.n_coarse))
+    fine = min(1.0, margin * float(live_f)
+               / (chunk * (cfg.n_coarse + cfg.n_fine)))
+    return cfg.replace(accel_coarse_capacity=coarse, accel_fine_capacity=fine)

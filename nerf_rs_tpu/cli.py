@@ -67,14 +67,21 @@ def cmd_render(args) -> int:
           f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
     grid = None
     if args.accel:
-        from nerf_rs_tpu.accel import build_scene_grid, suggest_capacities
+        from nerf_rs_tpu.accel import (
+            build_scene_grid, calibrate_capacities, suggest_capacities,
+        )
 
         t0 = time.perf_counter()
         grid = build_scene_grid(params["coarse"], params["fine"],
                                 resolution=args.accel_res)
         # Chunk-safe capacities for THIS camera/size: compaction overflow
         # would silently zero real samples (accel.suggest_capacities).
-        cfg = suggest_capacities(grid, camera, args.height, args.width, cfg)
+        if args.accel_calibrate:
+            cfg = calibrate_capacities(
+                params["coarse"], params["fine"], grid, camera,
+                args.height, args.width, jax.random.key(args.seed), cfg)
+        else:
+            cfg = suggest_capacities(grid, camera, args.height, args.width, cfg)
         frac = float(np.mean(np.asarray(grid.occ, np.float32)))
         print(f"occupancy grid {args.accel_res}^3 built in "
               f"{time.perf_counter() - t0:.2f}s ({100 * frac:.1f}% occupied; "
@@ -345,6 +352,9 @@ def main(argv=None) -> int:
                    help="occupancy-grid empty-space skipping (fast mode)")
     p.add_argument("--accel-res", type=int, default=128,
                    help="occupancy grid resolution per axis")
+    p.add_argument("--accel-calibrate", action="store_true",
+                   help="measure capacities with one instrumented render "
+                        "(tighter than the default geometry estimate)")
     p.add_argument("--trace-dir", help="write a jax.profiler trace here")
     p.set_defaults(fn=cmd_render)
 

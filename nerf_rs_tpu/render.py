@@ -79,9 +79,9 @@ def _mlp_culled(mlp, params, pts, dirs_b, mask, capacity: int, sigma_only: bool)
         rgb, sigma = mlp(params, buf[:, :3], buf[:, 3:6], sigma_only=sigma_only)
         return rgb, sigma[:, None]
 
-    rgb, sigma, _ = compact_apply(fn, rows, mask.reshape(n), capacity,
-                                  (jnp.float32(0), jnp.float32(0)))
-    return rgb.reshape(*batch, 3), sigma.reshape(batch)
+    rgb, sigma, n_live = compact_apply(fn, rows, mask.reshape(n), capacity,
+                                       (jnp.float32(0), jnp.float32(0)))
+    return rgb.reshape(*batch, 3), sigma.reshape(batch), n_live
 
 
 def render_rays(
@@ -97,6 +97,7 @@ def render_rays(
     ray_ids: Optional[jnp.ndarray] = None,
     grid=None,
     return_aux: bool = False,
+    return_live: bool = False,
 ):
     """Render a batch of rays.
 
@@ -113,6 +114,11 @@ def render_rays(
     ``grid`` (accel.OccupancyGrid, inference path only): skip MLP
     evaluations for samples in empty space and past the coarse-estimated
     ray termination — the opt-in fast mode (accel.py).
+
+    ``return_live`` (accel only): also return (coarse_live, fine_live) —
+    the TRUE number of occupied sample rows per pass for THIS batch,
+    regardless of capacity. Used by accel.calibrate_capacities to measure
+    what capacity the scene actually needs.
     """
     mlp = get_mlp_fn(cfg)
     batch_shape = dirs.shape[:-1]
@@ -137,7 +143,7 @@ def render_rays(
         cap_c = _round_up(
             max(1, int(n_rays * cfg.n_coarse * cfg.accel_coarse_capacity)), 1024
         )
-        rgb_c, sigma_c = _mlp_culled(
+        rgb_c, sigma_c, live_c = _mlp_culled(
             mlp, params_coarse, pts_c, dirs[..., None, :], occ_c, cap_c,
             sigma_only=True,
         )
@@ -192,7 +198,7 @@ def render_rays(
             max(1, int(n_rays * (cfg.n_coarse + cfg.n_fine)
                        * cfg.accel_fine_capacity)), 1024
         )
-        rgb_f, sigma_f = _mlp_culled(
+        rgb_f, sigma_f, live_f = _mlp_culled(
             mlp, params_fine, pts_f, dirs[..., None, :], mask_f, cap_f,
             sigma_only=False,
         )
@@ -201,6 +207,10 @@ def render_rays(
     w_f = compute_weights(sigma_f, t_f, far, t_threshold=cfg.t_threshold)
     rgb = composite(rgb_f, w_f, white_background=cfg.white_background)
 
+    if return_live:
+        if not accel:
+            raise ValueError("return_live requires an occupancy grid")
+        return rgb, (live_c, live_f)
     if not return_aux:
         return rgb
     aux = {
@@ -215,14 +225,16 @@ def render_rays(
     return rgb, aux
 
 
-@functools.partial(jax.jit, static_argnames=("n_rays_padded", "cfg"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_rays_padded", "cfg", "return_live"))
 def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
                  n_rays_padded: int, cfg: RenderConfig, ray_id_base: jnp.ndarray = 0,
-                 grid=None):
+                 grid=None, return_live: bool = False):
     """Chunked render of (N_padded, 3) unit dirs via lax.map. Per-ray RNG
     streams are derived from the GLOBAL ray index (ray_id_base + position),
     so the result is independent of the chunk size and of how rays were
-    sharded across devices."""
+    sharded across devices. With ``return_live`` (accel calibration) also
+    returns the worst-chunk (coarse, fine) live sample counts."""
     chunk = min(cfg.ray_chunk, n_rays_padded)
     n_chunks = n_rays_padded // chunk
     dirs_chunks = dirs_flat.reshape(n_chunks, chunk, 3)
@@ -232,10 +244,13 @@ def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
         ids = ray_id_base + idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         return render_rays(
             params_coarse, params_fine, origin, d, near, far,
-            key, cfg, ray_ids=ids, grid=grid,
+            key, cfg, ray_ids=ids, grid=grid, return_live=return_live,
         )
 
     out = jax.lax.map(body, (jnp.arange(n_chunks), dirs_chunks))
+    if return_live:
+        out, (live_c, live_f) = out
+        return out.reshape(n_rays_padded, 3), (jnp.max(live_c), jnp.max(live_f))
     return out.reshape(n_rays_padded, 3)
 
 
@@ -248,9 +263,12 @@ def render_image(
     key: jax.Array,
     cfg: Optional[RenderConfig] = None,
     grid=None,
+    return_live: bool = False,
 ) -> jnp.ndarray:
     """Render a full (height, width, 3) image on the current device(s).
-    Pass an accel.OccupancyGrid as ``grid`` for empty-space skipping."""
+    Pass an accel.OccupancyGrid as ``grid`` for empty-space skipping;
+    ``return_live`` (accel only) also returns the worst-chunk (coarse,
+    fine) live sample counts for capacity calibration."""
     cfg = cfg or RenderConfig()
     _, dirs = camera_rays(camera, height, width)
     n = height * width
@@ -259,9 +277,12 @@ def render_image(
     dirs_flat = dirs.reshape(n, 3)
     if pad:
         dirs_flat = jnp.concatenate([dirs_flat, jnp.ones((pad, 3), dirs.dtype)], axis=0)
-    rgb = _render_flat(
+    out = _render_flat(
         params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
         jnp.asarray(camera.near), jnp.asarray(camera.far), key, n + pad, cfg,
-        grid=grid,
+        grid=grid, return_live=return_live,
     )
-    return rgb[:n].reshape(height, width, 3)
+    if return_live:
+        rgb, live = out
+        return rgb[:n].reshape(height, width, 3), live
+    return out[:n].reshape(height, width, 3)

@@ -159,3 +159,32 @@ def test_suggest_capacities_fixes_overflow(lego_params, golden):
     tuned = suggest_capacities(grid, cam, size, size, cfg)
     assert tuned.accel_coarse_capacity > 0.4
     assert psnr(tuned) > 40.0
+
+
+def test_calibrate_capacities(lego_params, golden):
+    """Measured calibration: tight capacities (especially fine, where
+    termination culling bites) that still render >40 dB vs exact."""
+    from nerf_rs_tpu.accel import build_scene_grid, calibrate_capacities
+
+    cfg = RenderConfig(n_coarse=32, n_fine=64, ray_chunk=2048)
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=48, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=48 * 48 * 48, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cam = camera_from_golden(golden)
+    key = jax.random.key(0)
+    size = 48
+    tuned = calibrate_capacities(lego_params["coarse"], lego_params["fine"],
+                                 grid, cam, size, size, key, cfg)
+    # Tighter than the geometry bound's fine capacity (1.0 on this scene).
+    assert 0.0 < tuned.accel_coarse_capacity < 0.9
+    assert 0.0 < tuned.accel_fine_capacity < 0.95
+
+    exact = np.asarray(render_image(lego_params["coarse"], lego_params["fine"],
+                                    cam, size, size, key, cfg))
+    fast = np.asarray(render_image(lego_params["coarse"], lego_params["fine"],
+                                   cam, size, size, key, tuned, grid=grid))
+    mse = float(np.mean((exact - fast) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, f"calibrated accel render deviates: {psnr:.1f} dB"
