@@ -18,6 +18,7 @@ steps in rays/s with the same 64+128 sample config).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -144,6 +145,15 @@ def main() -> None:
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / (n_chips * 10_000_000.0), 4),
     }
+    if accel:
+        # Guard: a fast accel number only counts if the image still matches
+        # the exact path (the accel contract is >40 dB, tests/test_accel.py).
+        exact = np.asarray(render_image(params_c, params_f, camera, size, size,
+                                        jax.random.fold_in(key, repeats - 1),
+                                        cfg))
+        last = np.asarray(img)
+        mse = float(np.mean((exact - last) ** 2))
+        result["accel_psnr_db"] = round(-10.0 * math.log10(max(mse, 1e-12)), 1)
     print(json.dumps(result))
 
 

@@ -165,7 +165,8 @@ def compact_apply(
 
 
 def suggest_capacities(grid: OccupancyGrid, camera, height: int, width: int,
-                       cfg, margin: float = 1.3):
+                       cfg, margin: float = 1.3,
+                       chunk: Optional[int] = None):
     """Derive chunk-safe static capacity fractions for the accel path.
 
     The accel capacities are jit-static fractions; too small and real
@@ -189,7 +190,10 @@ def suggest_capacities(grid: OccupancyGrid, camera, height: int, width: int,
 
     _, dirs = camera_rays(camera, height, width)
     n = height * width
-    chunk = min(cfg.ray_chunk, max(n, 1))
+    # ``chunk`` overrides the partition when the caller renders with a
+    # different chunking than render_image's (e.g. the per-device chunk of
+    # render_image_sharded — parallel.render_sharded.effective_chunk).
+    chunk = chunk or min(cfg.ray_chunk, max(n, 1))
     pad = (-n) % chunk
     dirs_flat = jnp.asarray(dirs, jnp.float32).reshape(n, 3)
     if pad:
@@ -219,7 +223,8 @@ def suggest_capacities(grid: OccupancyGrid, camera, height: int, width: int,
 
 def calibrate_capacities(params_coarse, params_fine, grid: OccupancyGrid,
                          camera, height: int, width: int, key, cfg,
-                         margin: float = 1.15):
+                         margin: float = 1.15,
+                         chunk: Optional[int] = None):
     """Measure-then-tighten the accel capacity fractions.
 
     Runs ONE instrumented render at capacity 1.0 (no overflow possible)
@@ -236,15 +241,20 @@ def calibrate_capacities(params_coarse, params_fine, grid: OccupancyGrid,
     The stratified jitter differs per key; margin absorbs that (jitter
     moves samples within their bin and the grid is dilated by one cell).
     """
-    wide = cfg.replace(accel_coarse_capacity=1.0, accel_fine_capacity=1.0)
+    n = height * width
+    # ``chunk`` overrides the partition to match a different chunking than
+    # render_image's (e.g. render_image_sharded's per-device chunk, which
+    # always divides render_image's — so measuring with ray_chunk=chunk
+    # reproduces the sharded chunk boundaries exactly).
+    chunk = chunk or min(cfg.ray_chunk, max(n, 1))
+    wide = cfg.replace(accel_coarse_capacity=1.0, accel_fine_capacity=1.0,
+                       ray_chunk=chunk)
     from nerf_rs_tpu.render import render_image
 
     _, (live_c, live_f) = render_image(
         params_coarse, params_fine, camera, height, width, key, wide,
         grid=grid, return_live=True,
     )
-    n = height * width
-    chunk = min(cfg.ray_chunk, max(n, 1))
     coarse = min(1.0, margin * float(live_c) / (chunk * cfg.n_coarse))
     fine = min(1.0, margin * float(live_f)
                / (chunk * (cfg.n_coarse + cfg.n_fine)))

@@ -76,12 +76,20 @@ def cmd_render(args) -> int:
                                 resolution=args.accel_res)
         # Chunk-safe capacities for THIS camera/size: compaction overflow
         # would silently zero real samples (accel.suggest_capacities).
+        chunk = None
+        if args.sharded:
+            from nerf_rs_tpu.parallel.render_sharded import effective_chunk
+
+            chunk = effective_chunk(args.height * args.width,
+                                    jax.device_count(), cfg)
         if args.accel_calibrate:
             cfg = calibrate_capacities(
                 params["coarse"], params["fine"], grid, camera,
-                args.height, args.width, jax.random.key(args.seed), cfg)
+                args.height, args.width, jax.random.key(args.seed), cfg,
+                chunk=chunk)
         else:
-            cfg = suggest_capacities(grid, camera, args.height, args.width, cfg)
+            cfg = suggest_capacities(grid, camera, args.height, args.width,
+                                     cfg, chunk=chunk)
         frac = float(np.mean(np.asarray(grid.occ, np.float32)))
         print(f"occupancy grid {args.accel_res}^3 built in "
               f"{time.perf_counter() - t0:.2f}s ({100 * frac:.1f}% occupied; "

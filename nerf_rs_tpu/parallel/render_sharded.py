@@ -34,6 +34,16 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def effective_chunk(n_rays: int, n_devices: int, cfg: RenderConfig) -> int:
+    """The per-device lax.map chunk the sharded render actually uses —
+    pass to accel.{suggest,calibrate}_capacities so capacity tuning sees
+    the same chunk partition (it always divides render_image's chunk, so
+    the single-device measurement reproduces the sharded boundaries)."""
+    chunk = min(cfg.ray_chunk, _round_up(max(n_rays // n_devices, 1), 128))
+    n_per_dev = _round_up(-(-n_rays // n_devices), chunk)
+    return min(chunk, n_per_dev)
+
+
 @functools.partial(jax.jit, static_argnames=("n_per_dev", "cfg", "mesh"))
 def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
                          far, key, n_per_dev: int, cfg: RenderConfig, mesh,

@@ -151,3 +151,24 @@ def test_render_deterministic(lego_params, golden):
     img2 = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
                         jax.random.key(5), SMALL_CFG)
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_effective_chunk_matches_sharded_partition():
+    """effective_chunk (what capacity tuning must see) equals the chunk
+    _render_flat uses inside render_image_sharded, and divides
+    render_image's chunk so the partitions align."""
+    from nerf_rs_tpu.config import RenderConfig
+    from nerf_rs_tpu.parallel.render_sharded import _round_up, effective_chunk
+
+    for n, n_dev, ray_chunk in [(256 * 256, 8, 8192), (48 * 48, 8, 2048),
+                                (100, 8, 8192), (800 * 800, 4, 16384)]:
+        cfg = RenderConfig(ray_chunk=ray_chunk)
+        # replicate render_image_sharded's internal math
+        chunk = min(cfg.ray_chunk, _round_up(max(n // n_dev, 1), 128))
+        n_per_dev = _round_up(-(-n // n_dev), chunk)
+        inner = min(cfg.ray_chunk, n_per_dev)   # _render_flat's chunk
+        eff = effective_chunk(n, n_dev, cfg)
+        assert eff == inner, (n, n_dev, ray_chunk, eff, inner)
+        # single-device measurement with ray_chunk=eff uses the same
+        # partition (eff divides both n_per_dev and the padded total)
+        assert n_per_dev % eff == 0
