@@ -38,6 +38,9 @@ def main() -> None:
     from nerf_rs_tpu.train import create_train_state, train_step
 
     assets = find_lego_assets()
+    if assets is None:
+        raise SystemExit("pretrained lego assets not found "
+                         "(set $NERF_RS_TPU_ASSETS)")
     teacher = {"coarse": load_nerf_params(assets / "coarse"),
                "fine": load_nerf_params(assets / "fine")}
     small = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=args.batch_rays)

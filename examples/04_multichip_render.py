@@ -42,6 +42,9 @@ def main() -> None:
     from nerf_rs_tpu.render import render_image
 
     assets = find_lego_assets()
+    if assets is None:
+        raise SystemExit("pretrained lego assets not found "
+                         "(set $NERF_RS_TPU_ASSETS)")
     camera = camera_from_golden(load_golden(assets / "tf_reference_samples.json"))
     pc = load_nerf_params(assets / "coarse")
     pf = load_nerf_params(assets / "fine")

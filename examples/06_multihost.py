@@ -60,6 +60,9 @@ def worker() -> int:
           f"{jax.local_device_count()} local / {jax.device_count()} global devices")
 
     assets = find_lego_assets()
+    if assets is None:
+        raise SystemExit("pretrained lego assets not found "
+                         "(set $NERF_RS_TPU_ASSETS)")
     camera = camera_from_golden(load_golden(assets / "tf_reference_samples.json"))
     img = multihost.render_image_multihost(
         load_nerf_params(assets / "coarse"), load_nerf_params(assets / "fine"),

@@ -198,10 +198,6 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _kernel_body(cdt, sigma_only, fast_cos, interleave,
                  x_ref, blob_ref, aux_ref, out_ref, ws, wa, sems):
-    f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST
-    prec = hi if cdt == f32 else None
-
     @pl.when(pl.program_id(0) == 0)
     def _():
         cp_w = pltpu.make_async_copy(blob_ref, ws, sems.at[0])
@@ -562,7 +558,8 @@ def _is_tpu() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool):
+def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool,
+             interleave: bool):
     if (x_freqs, d_freqs) != (_XF, _DF):
         raise NotImplementedError(
             f"fused kernel is specialized to L=({_XF},{_DF}) encodings, "
@@ -581,11 +578,6 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         n_pad = _round_up(max(n, 1), t)
         x = jnp.pad(x6, ((0, n_pad - n), (0, 2))).T      # (8, n_pad)
         return x, n, t, batch_shape
-
-    # A/B flag (see PLAN.md item 3): split each forward tile into two
-    # independent chains so Mosaic can overlap one half's VPU epilogues
-    # with the other's MXU matmuls. Off by default until it wins on TPU.
-    interleave = os.environ.get("NERF_FUSED_INTERLEAVE", "0") == "1"
 
     def forward(params, points, viewdirs):
         x, n, t, batch_shape = pack_x(points, viewdirs)
@@ -649,6 +641,13 @@ def fused_nerf_mlp(
     sigma (...,)), float32. Differentiable (custom VJP). With
     ``sigma_only`` the rgb output is zeros and the color branch is
     skipped (the coarse pass discards colors, lib.rs:404).
+
+    $NERF_FUSED_INTERLEAVE=1 (A/B flag, PLAN.md item 3) splits each
+    forward tile into two independent chains so Mosaic can overlap one
+    half's VPU epilogues with the other's MXU matmuls; read per call so
+    in-process A/B toggles take effect (it is part of the op cache key).
     """
-    op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only))
+    interleave = os.environ.get("NERF_FUSED_INTERLEAVE", "0") == "1"
+    op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only),
+                  interleave)
     return op(params, points, viewdirs)

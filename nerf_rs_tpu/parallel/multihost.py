@@ -67,7 +67,7 @@ def gather_image_shards(local_pixels: np.ndarray, n_rays: int) -> Optional[np.nd
     is returned unchanged.
     """
     if jax.process_count() == 1:
-        return local_pixels
+        return local_pixels[:n_rays]
     from jax.experimental import multihost_utils
 
     gathered = multihost_utils.process_allgather(local_pixels)

@@ -41,7 +41,10 @@ def effective_chunk(n_rays: int, n_devices: int, cfg: RenderConfig) -> int:
     the single-device measurement reproduces the sharded boundaries)."""
     chunk = min(cfg.ray_chunk, _round_up(max(n_rays // n_devices, 1), 128))
     n_per_dev = _round_up(-(-n_rays // n_devices), chunk)
-    return min(chunk, n_per_dev)
+    # _render_flat re-derives its chunk as min(cfg.ray_chunk, n_per_dev) —
+    # which can exceed ``chunk`` when n_rays//n_devices is 128-aligned with
+    # a nonzero remainder (n_per_dev then rounds up to 2*chunk).
+    return min(cfg.ray_chunk, n_per_dev)
 
 
 @functools.partial(jax.jit, static_argnames=("n_per_dev", "cfg", "mesh"))

@@ -130,6 +130,11 @@ def render_rays(
         k_coarse = jax.vmap(lambda i: jax.random.fold_in(k_coarse, i))(ray_ids)
         k_fine = jax.vmap(lambda i: jax.random.fold_in(k_fine, i))(ray_ids)
     accel = grid is not None and not return_aux
+    if return_live and grid is None:
+        raise ValueError("return_live requires an occupancy grid")
+    if return_live and return_aux:
+        raise ValueError("return_live is incompatible with return_aux "
+                         "(the aux path disables accel compaction)")
 
     # --- coarse pass (reference lib.rs:375-404) ---
     t_c = stratified_samples(k_coarse, near, far, cfg.n_coarse, batch_shape)
@@ -208,8 +213,6 @@ def render_rays(
     rgb = composite(rgb_f, w_f, white_background=cfg.white_background)
 
     if return_live:
-        if not accel:
-            raise ValueError("return_live requires an occupancy grid")
         return rgb, (live_c, live_f)
     if not return_aux:
         return rgb

@@ -11,7 +11,10 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":
+    # Worker-process only: pytest imports this module for its helpers
+    # (test_camera/train_batch) and must NOT have its platform flipped.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 

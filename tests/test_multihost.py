@@ -16,6 +16,12 @@ import sys
 
 import numpy as np
 
+# Make `tests.multihost_worker` importable regardless of how pytest was
+# launched (no __init__.py — PEP 420 namespace package off the repo root).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 import jax
 
 from nerf_rs_tpu.config import RenderConfig, TrainConfig
@@ -114,3 +120,22 @@ def test_two_process_train_step_matches_single(tmp_path):
         frac = (diff > 1e-4).mean()
         assert frac < 1e-3, \
             f"param leaf {i}: {frac:.2%} of elements diverged across processes"
+
+
+def test_render_image_multihost_single_process(lego_params, golden):
+    """In a single-process runtime render_image_multihost degrades to the
+    sharded render: padded rows are truncated and the image comes back
+    bitwise equal to render_image (regression: the padded local rows used
+    to break the final reshape)."""
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.parallel.multihost import render_image_multihost
+    from nerf_rs_tpu.render import render_image
+
+    cam = camera_from_golden(golden)
+    cfg = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=128)
+    key = jax.random.key(0)
+    img = render_image_multihost(lego_params["coarse"], lego_params["fine"],
+                                 cam, 16, 16, key, cfg)
+    ref = np.asarray(render_image(lego_params["coarse"], lego_params["fine"],
+                                  cam, 16, 16, key, cfg))
+    np.testing.assert_array_equal(img, ref)

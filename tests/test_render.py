@@ -160,8 +160,12 @@ def test_effective_chunk_matches_sharded_partition():
     from nerf_rs_tpu.config import RenderConfig
     from nerf_rs_tpu.parallel.render_sharded import _round_up, effective_chunk
 
+    # 1028/8: n//n_dev is 128-aligned with a remainder, so n_per_dev
+    # rounds up to 2*chunk — the case where min(chunk, n_per_dev) used to
+    # disagree with _render_flat's min(ray_chunk, n_per_dev).
     for n, n_dev, ray_chunk in [(256 * 256, 8, 8192), (48 * 48, 8, 2048),
-                                (100, 8, 8192), (800 * 800, 4, 16384)]:
+                                (100, 8, 8192), (800 * 800, 4, 16384),
+                                (1028, 8, 8192)]:
         cfg = RenderConfig(ray_chunk=ray_chunk)
         # replicate render_image_sharded's internal math
         chunk = min(cfg.ray_chunk, _round_up(max(n // n_dev, 1), 128))
