@@ -21,13 +21,25 @@ _state: dict = {}
 
 
 def init_renderer(assets_dir: Optional[str] = None,
-                  cfg: Optional[RenderConfig] = None) -> None:
-    """Load and cache the coarse/fine networks and camera (idempotent)."""
+                  cfg: Optional[RenderConfig] = None,
+                  accel: Optional[bool] = None,
+                  accel_res: int = 128) -> None:
+    """Load and cache the coarse/fine networks and camera (idempotent).
+
+    ``accel=True`` additionally bakes an occupancy grid
+    (accel.build_scene_grid, one-time cost) and serves every frame through
+    the empty-space-skipping path; capacities are calibrated per requested
+    image size on first use (accel.calibrate_capacities) and cached.
+    ``accel=None`` (the default) keeps the current mode on an
+    already-initialized renderer; ``accel=False`` explicitly disables it.
+    """
     from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
     from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
 
     with _lock:
-        if _state.get("ready") and assets_dir is None and cfg is None:
+        if (_state.get("ready") and assets_dir is None and cfg is None
+                and (accel is None
+                     or accel == (_state.get("grid") is not None))):
             return
         assets = assets_dir or find_lego_assets()
         if assets is None:
@@ -46,7 +58,18 @@ def init_renderer(assets_dir: Optional[str] = None,
         )
         # Reference wasm used reduced sample counts (32, 64) for interactive
         # latency (lib.rs:604-607); on TPU the full counts stay interactive.
-        _state["cfg"] = cfg or RenderConfig(ray_chunk=16384)
+        # Re-inits that only flip the accel mode keep the configured cfg.
+        _state["cfg"] = cfg or _state.get("cfg") or RenderConfig(ray_chunk=16384)
+        if accel:
+            from nerf_rs_tpu.accel import build_scene_grid
+
+            _state["grid"] = build_scene_grid(
+                _state["params"]["coarse"], _state["params"]["fine"],
+                resolution=accel_res,
+            )
+        else:
+            _state["grid"] = None
+        _state["size_cfgs"] = {}
         _state["ready"] = True
 
 
@@ -61,8 +84,21 @@ def render_image_rgba(width: int, height: int, seed: int = 0) -> np.ndarray:
     if width <= 0 or height <= 0:
         raise ValueError("width and height must be greater than zero")
     init_renderer()
+    cfg, grid = _state["cfg"], _state["grid"]
+    if grid is not None:
+        with _lock:
+            cfg = _state["size_cfgs"].get((width, height))
+            if cfg is None:
+                from nerf_rs_tpu.accel import calibrate_capacities
+
+                cfg = calibrate_capacities(
+                    _state["params"]["coarse"], _state["params"]["fine"],
+                    grid, _state["camera"], height, width,
+                    jax.random.key(0), _state["cfg"],
+                )
+                _state["size_cfgs"][(width, height)] = cfg
     img = render_image(
         _state["params"]["coarse"], _state["params"]["fine"], _state["camera"],
-        height, width, jax.random.key(seed), _state["cfg"],
+        height, width, jax.random.key(seed), cfg, grid=grid,
     )
     return pixels_to_rgba(np.asarray(img))

@@ -103,7 +103,17 @@ def main(argv=None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--warmup", action="store_true",
                         help="compile the render before serving")
+    parser.add_argument("--accel", action="store_true",
+                        help="serve through the occupancy-grid fast path "
+                             "(one-time grid bake + per-size calibration)")
+    parser.add_argument("--accel-res", type=int, default=128,
+                        help="occupancy grid resolution per axis")
     args = parser.parse_args(argv)
+    if args.accel:
+        from nerf_rs_tpu.api import init_renderer
+
+        print(f"baking {args.accel_res}^3 occupancy grid...")
+        init_renderer(accel=True, accel_res=args.accel_res)
     if args.warmup:
         from nerf_rs_tpu.api import render_image_rgba
 

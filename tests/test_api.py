@@ -1,0 +1,73 @@
+"""Embedder API (the reference's wasm surface, lib.rs:679-726): cached
+networks, validated dims, RGBA A=255 — plus the accel serving mode."""
+
+import jax
+import numpy as np
+import pytest
+
+from nerf_rs_tpu import api
+from nerf_rs_tpu.config import RenderConfig
+
+SMALL = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=256)
+
+
+@pytest.fixture(autouse=True)
+def fresh_state():
+    api._state.clear()
+    yield
+    api._state.clear()
+
+
+def test_rgba_contract(assets_dir):
+    api.init_renderer(cfg=SMALL)
+    buf = api.render_image_rgba(16, 16, seed=0)
+    assert buf.shape == (16 * 16 * 4,) and buf.dtype == np.uint8
+    rgba = buf.reshape(16, 16, 4)
+    assert (rgba[..., 3] == 255).all()
+    # matches the underlying render + the reference's quantization formula
+    from nerf_rs_tpu.io.image import pixels_to_rgba
+    from nerf_rs_tpu.render import render_image
+
+    img = render_image(api._state["params"]["coarse"],
+                       api._state["params"]["fine"], api._state["camera"],
+                       16, 16, jax.random.key(0), SMALL)
+    np.testing.assert_array_equal(buf, pixels_to_rgba(np.asarray(img)))
+
+
+def test_invalid_dims_rejected(assets_dir):
+    api.init_renderer(cfg=SMALL)
+    with pytest.raises(ValueError):
+        api.render_image_rgba(0, 16)
+
+
+def test_accel_mode_serves_close_images(assets_dir):
+    """accel=True bakes a grid once, calibrates per size, and serves
+    images close to the exact path."""
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+
+    api.init_renderer(cfg=SMALL)
+    exact = api.render_image_rgba(16, 16, seed=0).astype(np.float32)
+
+    api._state.clear()
+    # CPU: build the small grid through the oracle (the fused kernel's
+    # interpret mode works too, just slower).
+    import nerf_rs_tpu.accel as accel_mod
+
+    orig = accel_mod.build_occupancy_grid
+
+    def fast_build(params, **kw):
+        kw.setdefault("mlp_fn", lambda p, x, d: nerf_mlp(p, x, d))
+        kw.setdefault("chunk", 32 ** 3)
+        return orig(params, **kw)
+
+    accel_mod.build_occupancy_grid = fast_build
+    try:
+        api.init_renderer(cfg=SMALL, accel=True, accel_res=32)
+        fast = api.render_image_rgba(16, 16, seed=0).astype(np.float32)
+    finally:
+        accel_mod.build_occupancy_grid = orig
+    assert (16, 16) in api._state["size_cfgs"]
+
+    mse = float(np.mean((exact - fast) ** 2))  # u8 scale
+    psnr = 20 * np.log10(255.0) - 10 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, f"accel-served image deviates: {psnr:.1f} dB"
