@@ -70,7 +70,40 @@ def _bench_train(cfg, repeats: int) -> None:
     }))
 
 
+def _backend_alive(timeout_s: float) -> bool:
+    """Probe device init in a daemon thread — the tunneled axon platform
+    can hang jax.devices() indefinitely during outages, and a bench that
+    never prints its JSON line is worse than one that reports the outage."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        try:
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
+    init_timeout = float(os.environ.get("NERF_BENCH_INIT_TIMEOUT", "300"))
+    if not _backend_alive(init_timeout):
+        print(json.dumps({
+            "metric": "fwd render rays/s, lego 800x800 64+128 samples",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "error": f"device backend init timed out after {init_timeout:.0f}s "
+                     "(axon tunnel outage?)",
+        }))
+        return
+
     import jax
 
     from nerf_rs_tpu.config import RenderConfig
