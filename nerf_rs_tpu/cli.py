@@ -250,11 +250,35 @@ def cmd_train(args) -> int:
     try:
         # Seed folds in the resume step so a restored run draws fresh batches
         # instead of replaying the sequence from the beginning.
+        grid = None
+
+        def refresh_grid():
+            """Occupancy-culled training: bake the grid from the CURRENT
+            student (culling by a stale or foreign density field would
+            starve gradients where the student is wrong). A near-empty
+            grid (early training, density not yet formed) is rejected —
+            training falls back to dense until density appears."""
+            from nerf_rs_tpu.accel import build_scene_grid
+
+            g = build_scene_grid(state.params["coarse"], state.params["fine"],
+                                 resolution=args.accel_res)
+            frac = float(np.mean(np.asarray(g.occ, np.float32)))
+            if frac < 0.005:
+                print(f"accel: grid only {frac:.2%} occupied — "
+                      "training dense until density forms")
+                return None
+            print(f"accel: rebuilt {args.accel_res}^3 grid ({frac:.1%} occupied)")
+            return g
+
         batch_iter = dataset.batches(cfg.batch_rays, seed=cfg.seed + start_step)
         for step, batch in enumerate(batch_iter, start=start_step):
             if step >= cfg.n_steps or stop_requested["flag"]:
                 break
-            state, metrics = sharded_train_step(mesh, state, batch, jax.random.fold_in(key, step), cfg)
+            if args.accel_every and step % args.accel_every == 0:
+                grid = refresh_grid()
+            state, metrics = sharded_train_step(
+                mesh, state, batch, jax.random.fold_in(key, step), cfg,
+                grid=grid)
             if step % args.log_every == 0 or step + 1 == cfg.n_steps:
                 m = {k: float(v) for k, v in metrics.items()}
                 rays_s = cfg.batch_rays * (step - start_step + 1) / (time.perf_counter() - t0)
@@ -385,6 +409,11 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir")
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--accel-every", type=int, default=0,
+                   help="occupancy-culled training: rebuild the grid from "
+                        "the student every N steps (0 = off)")
+    p.add_argument("--accel-res", type=int, default=128,
+                   help="occupancy grid resolution per axis")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="checkpoint PSNR vs the pretrained teacher")

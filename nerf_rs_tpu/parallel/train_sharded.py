@@ -40,8 +40,12 @@ def create_sharded_train_state(key: jax.Array, cfg: TrainConfig, mesh=None) -> T
     return mesh, state
 
 
-def sharded_train_step(mesh, state: TrainState, batch, key: jax.Array, cfg: TrainConfig):
+def sharded_train_step(mesh, state: TrainState, batch, key: jax.Array,
+                       cfg: TrainConfig, grid=None):
     """One data-parallel step: inputs are placed, then the jitted step runs;
-    XLA propagates shardings and inserts the gradient all-reduce."""
+    XLA propagates shardings and inserts the gradient all-reduce. ``grid``
+    (accel.OccupancyGrid) is replicated to every device."""
     batch = shard_batch(mesh, batch)
-    return train_step(state, batch, key, cfg)
+    if grid is not None:
+        grid = jax.device_put(grid, replicated_sharding(mesh))
+    return train_step(state, batch, key, cfg, grid)

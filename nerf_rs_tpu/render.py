@@ -129,12 +129,12 @@ def render_rays(
             raise ValueError("ray_ids requires flat (B, 3) dirs")
         k_coarse = jax.vmap(lambda i: jax.random.fold_in(k_coarse, i))(ray_ids)
         k_fine = jax.vmap(lambda i: jax.random.fold_in(k_fine, i))(ray_ids)
-    accel = grid is not None and not return_aux
+    accel = grid is not None
     if return_live and grid is None:
         raise ValueError("return_live requires an occupancy grid")
     if return_live and return_aux:
-        raise ValueError("return_live is incompatible with return_aux "
-                         "(the aux path disables accel compaction)")
+        raise ValueError("return_live is incompatible with return_aux — "
+                         "calibrate capacities through the inference path")
 
     # --- coarse pass (reference lib.rs:375-404) ---
     t_c = stratified_samples(k_coarse, near, far, cfg.n_coarse, batch_shape)
@@ -148,9 +148,13 @@ def render_rays(
         cap_c = _round_up(
             max(1, int(n_rays * cfg.n_coarse * cfg.accel_coarse_capacity)), 1024
         )
+        # Culled/overflowed rows scatter back as rgb = 0, sigma = 0; their
+        # compositing weight is exactly 0, so the zero color is inert and
+        # gradients flow only through the evaluated rows (training uses
+        # this path too — NerfAcc-style accelerated training).
         rgb_c, sigma_c, live_c = _mlp_culled(
             mlp, params_coarse, pts_c, dirs[..., None, :], occ_c, cap_c,
-            sigma_only=True,
+            sigma_only=not return_aux,
         )
     else:
         rgb_c, sigma_c = mlp(

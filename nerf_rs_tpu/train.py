@@ -51,17 +51,22 @@ def nerf_loss(
     batch: Dict[str, jnp.ndarray],
     key: jax.Array,
     cfg: TrainConfig,
+    grid=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Joint coarse+fine photometric MSE over a ray batch.
 
     batch: origins (B, 3) or a single (3,) origin, dirs (B, 3) unit,
-    rgb (B, 3) targets, near/far scalars.
+    rgb (B, 3) targets, near/far scalars. ``grid`` (accel.OccupancyGrid)
+    enables occupancy-culled MLP evaluation inside the differentiable
+    render — culled samples scatter back with zero weight and zero
+    gradient (NerfAcc-style accelerated training; refresh the grid from
+    the student periodically, see cli train --accel-every).
     """
     rcfg = cfg.render
     rgb_fine, aux = render_rays(
         params["coarse"], params["fine"],
         batch["origins"], batch["dirs"], batch["near"], batch["far"],
-        key, rcfg, return_aux=True,
+        key, rcfg, return_aux=True, grid=grid,
     )
     mse_fine = jnp.mean((rgb_fine - batch["rgb"]) ** 2)
     mse_coarse = jnp.mean((aux["rgb_coarse"] - batch["rgb"]) ** 2)
@@ -76,12 +81,14 @@ def train_step(
     batch: Dict[str, jnp.ndarray],
     key: jax.Array,
     cfg: TrainConfig,
+    grid=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step. With ray-sharded batches and replicated params,
     the gradient psum over chips is inserted by XLA (overlap handled by its
-    latency-hiding scheduler)."""
+    latency-hiding scheduler). ``grid`` enables occupancy-culled training
+    (see nerf_loss)."""
     grad_fn = jax.value_and_grad(nerf_loss, has_aux=True)
-    (_, metrics), grads = grad_fn(state.params, batch, key, cfg)
+    (_, metrics), grads = grad_fn(state.params, batch, key, cfg, grid)
     updates, opt_state = make_optimizer(cfg).update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), metrics

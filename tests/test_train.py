@@ -75,3 +75,55 @@ def test_shard_batch_layout():
     batch = shard_batch(mesh, _batch(64))
     assert batch["dirs"].sharding.is_fully_replicated is False
     assert batch["near"].sharding.is_fully_replicated is True
+
+
+def test_train_step_with_full_grid_matches_dense():
+    """An all-occupied grid with capacity 1.0 and termination culling off
+    is compaction-as-identity: the accelerated train step must reproduce
+    the dense step (values and updated params) to float tolerance."""
+    from nerf_rs_tpu.accel import OccupancyGrid
+
+    cfg = TINY.replace(render=TINY.render.replace(
+        accel_coarse_capacity=1.0, accel_fine_capacity=1.0,
+        accel_t_threshold=0.0))
+    grid = OccupancyGrid(
+        occ=jnp.ones((8, 8, 8), bool),
+        aabb_min=jnp.full((3,), -6.5, jnp.float32),
+        aabb_max=jnp.full((3,), 6.5, jnp.float32),
+    )
+    batch = _batch(TINY.batch_rays)
+
+    s_dense = create_train_state(jax.random.key(0), cfg)
+    s_dense, m_dense = train_step(s_dense, batch, jax.random.key(1), cfg)
+    s_accel = create_train_state(jax.random.key(0), cfg)
+    s_accel, m_accel = train_step(s_accel, batch, jax.random.key(1), cfg,
+                                  grid=grid)
+
+    np.testing.assert_allclose(float(m_accel["loss"]), float(m_dense["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_accel.params),
+                    jax.tree_util.tree_leaves(s_dense.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_train_step_with_teacher_grid_learns(lego_params):
+    """Occupancy-culled training against the pretrained teacher's grid:
+    grads flow and the loss decreases."""
+    from nerf_rs_tpu.accel import build_scene_grid
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=24, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=24 ** 3, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    state = create_train_state(jax.random.key(0), TINY)
+    batch = _batch(TINY.batch_rays)
+    first = None
+    for i in range(10):
+        state, metrics = train_step(state, batch, jax.random.key(42), TINY,
+                                    grid=grid)
+        if first is None:
+            first = float(metrics["loss"])
+        assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < first, "accelerated training did not learn"
