@@ -36,7 +36,7 @@ def _bench_train(cfg, repeats: int) -> None:
         sharded_train_step,
     )
 
-    batch_rays = 16384
+    batch_rays = int(os.environ.get("NERF_BENCH_TRAIN_RAYS", "16384"))
     tcfg = TrainConfig(batch_rays=batch_rays, render=cfg.replace(ray_chunk=batch_rays))
     mesh, state = create_sharded_train_state(jax.random.key(0), tcfg)
     rng = np.random.default_rng(0)
@@ -49,21 +49,39 @@ def _bench_train(cfg, repeats: int) -> None:
         "near": jnp.float32(2.0),
         "far": jnp.float32(6.0),
     }
+    grid = None
+    if os.environ.get("NERF_BENCH_ACCEL", "0") not in ("0", "", "false"):
+        # Occupancy-culled training throughput: bake the grid from the
+        # pretrained teacher (in a real run cli train --accel-every
+        # rebuilds it from the student; the culling cost is identical).
+        from nerf_rs_tpu.accel import build_scene_grid
+        from nerf_rs_tpu.io.golden import load_golden  # noqa: F401  (asset dir probe)
+        from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
+
+        assets = find_lego_assets()
+        if assets is not None:
+            grid = build_scene_grid(load_nerf_params(assets / "coarse"),
+                                    load_nerf_params(assets / "fine"),
+                                    resolution=128)
+
     key = jax.random.key(1)
-    state, metrics = sharded_train_step(mesh, state, batch, key, tcfg)  # compile
+    state, metrics = sharded_train_step(mesh, state, batch, key, tcfg,
+                                        grid=grid)  # compile
     np.asarray(metrics["loss"])
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
         state, metrics = sharded_train_step(mesh, state, batch,
-                                            jax.random.fold_in(key, i), tcfg)
+                                            jax.random.fold_in(key, i), tcfg,
+                                            grid=grid)
         np.asarray(metrics["loss"])
         times.append(time.perf_counter() - t0)
     rays_per_s = batch_rays / min(times)
     n_chips = jax.device_count()
     print(json.dumps({
         "metric": f"train rays/s (fwd+bwd+opt), 64+128 samples, "
-                  f"{cfg.impl}/{cfg.dtype}, {n_chips} chip(s)",
+                  f"{cfg.impl}/{cfg.dtype}"
+                  f"{'+accel' if grid is not None else ''}, {n_chips} chip(s)",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / (n_chips * 1_000_000.0), 4),
