@@ -55,7 +55,6 @@ def _bench_train(cfg, repeats: int) -> None:
         # pretrained teacher (in a real run cli train --accel-every
         # rebuilds it from the student; the culling cost is identical).
         from nerf_rs_tpu.accel import build_scene_grid
-        from nerf_rs_tpu.io.golden import load_golden  # noqa: F401  (asset dir probe)
         from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
 
         assets = find_lego_assets()
@@ -88,37 +87,47 @@ def _bench_train(cfg, repeats: int) -> None:
     }))
 
 
-def _backend_alive(timeout_s: float) -> bool:
+def _backend_alive(timeout_s: float):
     """Probe device init in a daemon thread — the tunneled axon platform
     can hang jax.devices() indefinitely during outages, and a bench that
-    never prints its JSON line is worse than one that reports the outage."""
+    never prints its JSON line is worse than one that reports the outage.
+    Returns None when the backend is up, else an error string (the real
+    init exception when it raised, a timeout message when it hung)."""
     import threading
 
-    ok = []
+    done = {}
 
     def probe():
         import jax
 
         try:
             jax.devices()
-            ok.append(True)
-        except Exception:
-            pass
+            done["ok"] = True
+        except Exception as e:
+            done["error"] = f"{type(e).__name__}: {e}"
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    return bool(ok)
+    if "ok" in done:
+        return None
+    return done.get("error",
+                    f"device backend init timed out after {timeout_s:.0f}s "
+                    "(axon tunnel outage?)")
 
 
 def main() -> None:
     init_timeout = float(os.environ.get("NERF_BENCH_INIT_TIMEOUT", "300"))
-    if not _backend_alive(init_timeout):
+    init_error = _backend_alive(init_timeout)
+    if init_error is not None:
+        mode = os.environ.get("NERF_BENCH_MODE", "render")
+        size = os.environ.get("NERF_BENCH_SIZE", "800")
+        metric = ("train rays/s (fwd+bwd+opt), 64+128 samples"
+                  if mode == "train" else
+                  f"fwd render rays/s, lego {size}x{size} 64+128 samples")
         print(json.dumps({
-            "metric": "fwd render rays/s, lego 800x800 64+128 samples",
-            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
-            "error": f"device backend init timed out after {init_timeout:.0f}s "
-                     "(axon tunnel outage?)",
+            "metric": metric, "value": 0.0, "unit": "rays/s",
+            "vs_baseline": 0.0, "error": init_error,
         }))
         return
 

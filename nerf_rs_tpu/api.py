@@ -39,7 +39,9 @@ def init_renderer(assets_dir: Optional[str] = None,
     with _lock:
         if (_state.get("ready") and assets_dir is None and cfg is None
                 and (accel is None
-                     or accel == (_state.get("grid") is not None))):
+                     or (accel == (_state.get("grid") is not None)
+                         and (not accel
+                              or accel_res == _state.get("accel_res"))))):
             return
         assets = assets_dir or find_lego_assets()
         if assets is None:
@@ -67,8 +69,10 @@ def init_renderer(assets_dir: Optional[str] = None,
                 _state["params"]["coarse"], _state["params"]["fine"],
                 resolution=accel_res,
             )
+            _state["accel_res"] = accel_res
         else:
             _state["grid"] = None
+            _state.pop("accel_res", None)
         _state["size_cfgs"] = {}
         _state["ready"] = True
 

@@ -255,35 +255,67 @@ def cmd_train(args) -> int:
         def refresh_grid():
             """Occupancy-culled training: bake the grid from the CURRENT
             student (culling by a stale or foreign density field would
-            starve gradients where the student is wrong). A near-empty
-            grid (early training, density not yet formed) is rejected —
-            training falls back to dense until density appears."""
+            starve gradients where the student is wrong), with the
+            CONFIGURED MLP impl/dtype (the fused-kernel default would run
+            in slow interpret mode off-TPU and threshold bf16 sigmas
+            under an f32 run). A near-empty grid (early training, density
+            not yet formed) is rejected — training falls back to dense
+            until density appears. Capacities scale with the occupancy so
+            a diffuse mid-training grid cannot silently overflow; they are
+            quantized to 1/8 steps to bound recompiles, and the live_frac
+            metrics in the step log confirm headroom."""
             from nerf_rs_tpu.accel import build_scene_grid
+            from nerf_rs_tpu.render import get_mlp_fn
 
-            g = build_scene_grid(state.params["coarse"], state.params["fine"],
-                                 resolution=args.accel_res)
+            mlp = get_mlp_fn(cfg.render)
+            g = build_scene_grid(
+                state.params["coarse"], state.params["fine"],
+                resolution=args.accel_res,
+                mlp_fn=lambda p, x, d: mlp(p, x, d, sigma_only=True))
             frac = float(np.mean(np.asarray(g.occ, np.float32)))
             if frac < 0.005:
                 print(f"accel: grid only {frac:.2%} occupied — "
                       "training dense until density forms")
-                return None
-            print(f"accel: rebuilt {args.accel_res}^3 grid ({frac:.1%} occupied)")
-            return g
+                return None, cfg
+            # Heuristic capacity from volume occupancy (rays concentrate
+            # on the object, so x2.2 margin), floored at the defaults.
+            q = 1 / 8
 
+            def up(v):
+                return min(1.0, -(-v // q) * q)
+
+            rc = cfg.render
+            cap_c = max(rc.accel_coarse_capacity, up(2.2 * frac))
+            nc, nf = rc.n_coarse, rc.n_fine
+            cap_f = max(rc.accel_fine_capacity,
+                        up(1.15 * (cap_c * nc + nf) / (nc + nf)))
+            new_cfg = cfg.replace(render=rc.replace(
+                accel_coarse_capacity=cap_c, accel_fine_capacity=cap_f))
+            print(f"accel: rebuilt {args.accel_res}^3 grid ({frac:.1%} "
+                  f"occupied; capacities {cap_c:.2f}/{cap_f:.2f})")
+            return g, new_cfg
+
+        step_cfg = cfg
         batch_iter = dataset.batches(cfg.batch_rays, seed=cfg.seed + start_step)
         for step, batch in enumerate(batch_iter, start=start_step):
             if step >= cfg.n_steps or stop_requested["flag"]:
                 break
             if args.accel_every and step % args.accel_every == 0:
-                grid = refresh_grid()
+                grid, step_cfg = refresh_grid()
             state, metrics = sharded_train_step(
-                mesh, state, batch, jax.random.fold_in(key, step), cfg,
+                mesh, state, batch, jax.random.fold_in(key, step), step_cfg,
                 grid=grid)
             if step % args.log_every == 0 or step + 1 == cfg.n_steps:
                 m = {k: float(v) for k, v in metrics.items()}
                 rays_s = cfg.batch_rays * (step - start_step + 1) / (time.perf_counter() - t0)
+                extra = ""
+                if "live_frac_coarse" in m:
+                    extra = (f" accel-load {m['live_frac_coarse']:.2f}/"
+                             f"{m['live_frac_fine']:.2f}")
+                    if max(m["live_frac_coarse"], m["live_frac_fine"]) >= 1.0:
+                        extra += " OVERFLOW (raise accel capacities)"
                 print(f"step {step}: loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
-                      f"({rays_s:,.0f} rays/s fwd+bwd)")
+                      f"({rays_s:,.0f} rays/s fwd+bwd){extra}")
             if args.checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
                 path = save_checkpoint(args.checkpoint_dir, state)
                 print(f"checkpointed {path}")
@@ -432,9 +464,14 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8400)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--warmup", action="store_true")
+    p.add_argument("--accel", action="store_true",
+                   help="serve through the occupancy-grid fast path")
+    p.add_argument("--accel-res", type=int, default=128)
     p.set_defaults(fn=lambda a: __import__(
         "nerf_rs_tpu.serve", fromlist=["main"]
-    ).main(["--port", str(a.port), "--host", a.host] + (["--warmup"] if a.warmup else [])))
+    ).main(["--port", str(a.port), "--host", a.host]
+           + (["--warmup"] if a.warmup else [])
+           + (["--accel", "--accel-res", str(a.accel_res)] if a.accel else [])))
 
     p = sub.add_parser("info", help="device/mesh info")
     p.set_defaults(fn=cmd_info)

@@ -229,6 +229,12 @@ def render_rays(
         "t_fine": t_f,
         "depth": jnp.sum(w_f * t_f, axis=-1),
     }
+    if accel:
+        # Compaction health: fraction of capacity used, per pass. > 1.0
+        # means real samples overflowed to sigma = 0 and their gradients
+        # were dropped — raise accel_*_capacity (training logs warn).
+        aux["live_frac_coarse"] = live_c.astype(jnp.float32) / cap_c
+        aux["live_frac_fine"] = live_f.astype(jnp.float32) / cap_f
     return rgb, aux
 
 

@@ -52,6 +52,7 @@ def nerf_loss(
     key: jax.Array,
     cfg: TrainConfig,
     grid=None,
+    ray_ids=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Joint coarse+fine photometric MSE over a ray batch.
 
@@ -61,18 +62,32 @@ def nerf_loss(
     render — culled samples scatter back with zero weight and zero
     gradient (NerfAcc-style accelerated training; refresh the grid from
     the student periodically, see cli train --accel-every).
+
+    Per-ray RNG streams derive from ``ray_ids`` (default: the batch
+    position), so a batch sharded over devices draws the same jitter as
+    the same batch on one device (parallel/train_sharded.py passes the
+    global ids per shard).
     """
     rcfg = cfg.render
+    if ray_ids is None:
+        ray_ids = jnp.arange(batch["dirs"].shape[0], dtype=jnp.int32)
     rgb_fine, aux = render_rays(
         params["coarse"], params["fine"],
         batch["origins"], batch["dirs"], batch["near"], batch["far"],
-        key, rcfg, return_aux=True, grid=grid,
+        key, rcfg, return_aux=True, grid=grid, ray_ids=ray_ids,
     )
     mse_fine = jnp.mean((rgb_fine - batch["rgb"]) ** 2)
     mse_coarse = jnp.mean((aux["rgb_coarse"] - batch["rgb"]) ** 2)
     loss = mse_fine + cfg.coarse_loss_weight * mse_coarse
     psnr = -10.0 * jnp.log10(jnp.maximum(mse_fine, 1e-10))
-    return loss, {"loss": loss, "mse_fine": mse_fine, "mse_coarse": mse_coarse, "psnr": psnr}
+    metrics = {"loss": loss, "mse_fine": mse_fine,
+               "mse_coarse": mse_coarse, "psnr": psnr}
+    if "live_frac_coarse" in aux:
+        # Compaction health (accel training): > 1.0 = capacity overflow,
+        # gradients silently dropped for the overflowed samples.
+        metrics["live_frac_coarse"] = aux["live_frac_coarse"]
+        metrics["live_frac_fine"] = aux["live_frac_fine"]
+    return loss, metrics
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

@@ -60,11 +60,20 @@ def test_sharded_render_has_zero_collectives(mesh8):
     assert ops == [], f"sharded render compiled with collectives: {ops}"
 
 
-def test_train_step_has_one_fused_all_reduce(mesh8):
+@pytest.mark.parametrize("with_grid", [False, True],
+                         ids=["dense", "accel"])
+def test_train_step_has_one_fused_all_reduce(mesh8, with_grid):
+    """The shard_map train step compiles to EXACTLY one all-reduce (the
+    fused grads+metrics pmean) — in particular the accel path must stay
+    all-gather-free: compact_apply's cumsum/scatter over a globally
+    flattened sample axis is not partitionable, and the pre-shard_map
+    design compiled to 6 all-gathers that replicated the whole MLP batch
+    onto every chip."""
+    from nerf_rs_tpu.accel import OccupancyGrid
+    from nerf_rs_tpu.parallel.mesh import replicated_sharding
     from nerf_rs_tpu.parallel.train_sharded import (
-        create_sharded_train_state, shard_batch,
+        _sharded_step, create_sharded_train_state, shard_batch,
     )
-    from nerf_rs_tpu.train import train_step
 
     tc = TrainConfig(batch_rays=64,
                      render=RenderConfig(n_coarse=8, n_fine=8, ray_chunk=64))
@@ -77,11 +86,16 @@ def test_train_step_has_one_fused_all_reduce(mesh8):
         "rgb": rng.uniform(size=(64, 3)).astype(np.float32),
         "near": np.float32(2.0), "far": np.float32(6.0),
     })
-    txt = jax.jit(train_step, static_argnames=("cfg",)).lower(
-        state, batch, jax.random.key(1), tc).compile().as_text()
+    if with_grid:
+        grid = OccupancyGrid(occ=jnp.ones((8, 8, 8), bool),
+                             aabb_min=jnp.full((3,), -6.5, jnp.float32),
+                             aabb_max=jnp.full((3,), 6.5, jnp.float32))
+        grid = jax.device_put(grid, replicated_sharding(mesh))
+    else:
+        grid = jnp.zeros((), jnp.float32)
+    txt = _sharded_step.lower(
+        mesh, state, batch, jax.random.key(1), tc, grid,
+        64 // mesh.devices.size, with_grid).compile().as_text()
     ops = _collective_ops(txt)
-    assert all(o.startswith("all-reduce") for o in ops), ops
-    n = len([o for o in ops if o.startswith("all-reduce")])
-    assert n == 1, (
-        f"expected ONE fused gradient all-reduce, compiled {n}: "
-        "XLA's combiner stopped fusing the per-leaf psums")
+    assert ops == ["all-reduce"], (
+        f"expected exactly ONE fused all-reduce, compiled {ops}")
