@@ -164,6 +164,30 @@ def compact_apply(
     return (*gathered, live_total)
 
 
+def capacities_from_occupancy(frac: float, cfg, *, margin_coarse: float = 2.2,
+                              margin_fine: float = 1.15,
+                              quantum: float = 0.125):
+    """Heuristic (cap_coarse, cap_fine) from a volume-occupancy fraction.
+
+    Camera-free capacity model for when no ray geometry is available (the
+    training loop's per-refresh grids, cli train --accel-every): rays
+    concentrate on the object, so the coarse capacity is the volume
+    fraction with a generous margin; the fine pass resamples only near
+    geometry, so its bound is the usual (cap_c*Nc + Nf)/(Nc + Nf) blend
+    (same model as suggest_capacities' camera-aware variant). Capacities
+    are floored at the cfg defaults and quantized to ``quantum`` steps so
+    refresh-to-refresh drift doesn't recompile the step every time.
+    """
+    def up(v: float) -> float:
+        return min(1.0, -(-v // quantum) * quantum)
+
+    cap_c = max(cfg.accel_coarse_capacity, up(margin_coarse * frac))
+    nc, nf = cfg.n_coarse, cfg.n_fine
+    cap_f = max(cfg.accel_fine_capacity,
+                up(margin_fine * (cap_c * nc + nf) / (nc + nf)))
+    return cap_c, cap_f
+
+
 def suggest_capacities(grid: OccupancyGrid, camera, height: int, width: int,
                        cfg, margin: float = 1.3,
                        chunk: Optional[int] = None):

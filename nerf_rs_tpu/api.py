@@ -43,6 +43,11 @@ def init_renderer(assets_dir: Optional[str] = None,
                          and (not accel
                               or accel_res == _state.get("accel_res"))))):
             return
+        if accel is None:
+            # Docstring contract: accel=None keeps the current mode — a
+            # cfg-only re-init must not silently drop a baked grid.
+            accel = _state.get("grid") is not None
+            accel_res = _state.get("accel_res", accel_res)
         assets = assets_dir or find_lego_assets()
         if assets is None:
             raise FileNotFoundError(
@@ -51,6 +56,12 @@ def init_renderer(assets_dir: Optional[str] = None,
         from pathlib import Path
 
         assets = Path(assets)
+        # The grid is a pure function of (weights, resolution) — rebake
+        # only when either changed.
+        reuse_grid = (_state.get("grid") is not None
+                      and _state.get("accel_res") == accel_res
+                      and _state.get("assets") == assets)
+        _state["assets"] = assets
         _state["params"] = {
             "coarse": load_nerf_params(assets / "coarse"),
             "fine": load_nerf_params(assets / "fine"),
@@ -63,12 +74,13 @@ def init_renderer(assets_dir: Optional[str] = None,
         # Re-inits that only flip the accel mode keep the configured cfg.
         _state["cfg"] = cfg or _state.get("cfg") or RenderConfig(ray_chunk=16384)
         if accel:
-            from nerf_rs_tpu.accel import build_scene_grid
+            if not reuse_grid:
+                from nerf_rs_tpu.accel import build_scene_grid
 
-            _state["grid"] = build_scene_grid(
-                _state["params"]["coarse"], _state["params"]["fine"],
-                resolution=accel_res,
-            )
+                _state["grid"] = build_scene_grid(
+                    _state["params"]["coarse"], _state["params"]["fine"],
+                    resolution=accel_res,
+                )
             _state["accel_res"] = accel_res
         else:
             _state["grid"] = None

@@ -252,44 +252,49 @@ def cmd_train(args) -> int:
         # instead of replaying the sequence from the beginning.
         grid = None
 
-        def refresh_grid():
+        def refresh_grid(step):
             """Occupancy-culled training: bake the grid from the CURRENT
             student (culling by a stale or foreign density field would
             starve gradients where the student is wrong), with the
             CONFIGURED MLP impl/dtype (the fused-kernel default would run
             in slow interpret mode off-TPU and threshold bf16 sigmas
-            under an f32 run). A near-empty grid (early training, density
-            not yet formed) is rejected — training falls back to dense
-            until density appears. Capacities scale with the occupancy so
-            a diffuse mid-training grid cannot silently overflow; they are
-            quantized to 1/8 steps to bound recompiles, and the live_frac
-            metrics in the step log confirm headroom."""
-            from nerf_rs_tpu.accel import build_scene_grid
+            under an f32 run). Degenerate grids fall back to dense for
+            this refresh period: near-empty (early training, density not
+            yet formed) and near-full (compaction at capacity ~1.0 culls
+            nothing and only adds overhead). A culled cell gets exactly
+            zero gradient, so --accel-explore re-opens a random fraction
+            of cells each refresh — regions the student wrongly zeroed
+            can recover (NerfAcc keeps exploration alive the same way).
+            Capacities come from accel.capacities_from_occupancy, floored
+            at the defaults and quantized to bound recompiles; the
+            accel_overflow metric in the step log confirms headroom."""
+            import jax.numpy as jnp
+
+            from nerf_rs_tpu.accel import build_scene_grid, capacities_from_occupancy
             from nerf_rs_tpu.render import get_mlp_fn
 
             mlp = get_mlp_fn(cfg.render)
             g = build_scene_grid(
                 state.params["coarse"], state.params["fine"],
                 resolution=args.accel_res,
+                chunk=min(262_144, args.accel_res ** 3),
                 mlp_fn=lambda p, x, d: mlp(p, x, d, sigma_only=True))
-            frac = float(np.mean(np.asarray(g.occ, np.float32)))
+            occ = np.asarray(g.occ)
+            if args.accel_explore > 0:
+                rng = np.random.default_rng(cfg.seed + step)
+                occ = occ | (rng.random(occ.shape) < args.accel_explore)
+                g = g._replace(occ=jnp.asarray(occ))
+            frac = float(occ.mean())
             if frac < 0.005:
                 print(f"accel: grid only {frac:.2%} occupied — "
                       "training dense until density forms")
                 return None, cfg
-            # Heuristic capacity from volume occupancy (rays concentrate
-            # on the object, so x2.2 margin), floored at the defaults.
-            q = 1 / 8
-
-            def up(v):
-                return min(1.0, -(-v // q) * q)
-
-            rc = cfg.render
-            cap_c = max(rc.accel_coarse_capacity, up(2.2 * frac))
-            nc, nf = rc.n_coarse, rc.n_fine
-            cap_f = max(rc.accel_fine_capacity,
-                        up(1.15 * (cap_c * nc + nf) / (nc + nf)))
-            new_cfg = cfg.replace(render=rc.replace(
+            cap_c, cap_f = capacities_from_occupancy(frac, cfg.render)
+            if cap_c >= 1.0:
+                print(f"accel: grid {frac:.1%} occupied — compaction "
+                      "would cull nothing, training dense this period")
+                return None, cfg
+            new_cfg = cfg.replace(render=cfg.render.replace(
                 accel_coarse_capacity=cap_c, accel_fine_capacity=cap_f))
             print(f"accel: rebuilt {args.accel_res}^3 grid ({frac:.1%} "
                   f"occupied; capacities {cap_c:.2f}/{cap_f:.2f})")
@@ -300,8 +305,9 @@ def cmd_train(args) -> int:
         for step, batch in enumerate(batch_iter, start=start_step):
             if step >= cfg.n_steps or stop_requested["flag"]:
                 break
-            if args.accel_every and step % args.accel_every == 0:
-                grid, step_cfg = refresh_grid()
+            if (args.accel_every and step >= args.accel_warmup
+                    and step % args.accel_every == 0):
+                grid, step_cfg = refresh_grid(step)
             state, metrics = sharded_train_step(
                 mesh, state, batch, jax.random.fold_in(key, step), step_cfg,
                 grid=grid)
@@ -312,7 +318,10 @@ def cmd_train(args) -> int:
                 if "live_frac_coarse" in m:
                     extra = (f" accel-load {m['live_frac_coarse']:.2f}/"
                              f"{m['live_frac_fine']:.2f}")
-                    if max(m["live_frac_coarse"], m["live_frac_fine"]) >= 1.0:
+                    # accel_overflow is an indicator pmean — nonzero iff
+                    # ANY device overflowed (a plain max of the pooled
+                    # live_frac means would dilute one hot shard).
+                    if m.get("accel_overflow", 0.0) > 0.0:
                         extra += " OVERFLOW (raise accel capacities)"
                 print(f"step {step}: loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
                       f"({rays_s:,.0f} rays/s fwd+bwd){extra}")
@@ -446,6 +455,13 @@ def main(argv=None) -> int:
                         "the student every N steps (0 = off)")
     p.add_argument("--accel-res", type=int, default=128,
                    help="occupancy grid resolution per axis")
+    p.add_argument("--accel-warmup", type=int, default=256,
+                   help="train dense for this many steps before the first "
+                        "grid refresh (density must form somewhere first)")
+    p.add_argument("--accel-explore", type=float, default=0.01,
+                   help="fraction of cells randomly re-opened at each grid "
+                        "refresh, so regions the student wrongly zeroed "
+                        "keep receiving gradient (0 = off)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="checkpoint PSNR vs the pretrained teacher")

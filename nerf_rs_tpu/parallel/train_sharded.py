@@ -59,7 +59,7 @@ def _batch_specs(batch):
             for k, v in batch.items()}
 
 
-@functools.partial(jax.jit,
+@functools.partial(jax.jit, donate_argnums=(1,),
                    static_argnames=("cfg", "mesh", "n_local", "has_grid"))
 def _sharded_step(mesh, state: TrainState, batch, key, cfg: TrainConfig,
                   grid, n_local: int, has_grid: bool):
@@ -97,12 +97,14 @@ def sharded_train_step(mesh, state: TrainState, batch, key: jax.Array,
                        cfg: TrainConfig, grid=None):
     """One data-parallel step (see module docstring). ``grid``
     (accel.OccupancyGrid) is replicated to every device."""
-    batch = shard_batch(mesh, batch)
-    n_total = jnp.shape(batch["dirs"])[0]
+    # Check divisibility BEFORE shard_batch: device_put on a non-divisible
+    # leading axis raises its own (less helpful) error first otherwise.
+    n_total = jnp.shape(jnp.asarray(batch["dirs"]))[0]
     n_dev = mesh.devices.size
     if n_total % n_dev:
         raise ValueError(f"batch of {n_total} rays does not divide over "
                          f"{n_dev} devices")
+    batch = shard_batch(mesh, batch)
     if grid is not None:
         grid = jax.device_put(grid, replicated_sharding(mesh))
     return _sharded_step(mesh, state, batch, key, cfg, grid,

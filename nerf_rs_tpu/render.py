@@ -111,9 +111,12 @@ def render_rays(
     becomes bitwise invariant to chunking and to device sharding (the
     reference's thread_rng has no such property, lib.rs:375,407).
 
-    ``grid`` (accel.OccupancyGrid, inference path only): skip MLP
-    evaluations for samples in empty space and past the coarse-estimated
-    ray termination — the opt-in fast mode (accel.py).
+    ``grid`` (accel.OccupancyGrid): skip MLP evaluations for samples in
+    empty space and past the coarse-estimated ray termination — the
+    opt-in fast mode (accel.py). Works in the differentiable path too:
+    culled rows scatter back with zero weight and zero gradient
+    (occupancy-culled training, train.nerf_loss / cli train
+    --accel-every).
 
     ``return_live`` (accel only): also return (coarse_live, fine_live) —
     the TRUE number of occupied sample rows per pass for THIS batch,

@@ -87,6 +87,14 @@ def nerf_loss(
         # gradients silently dropped for the overflowed samples.
         metrics["live_frac_coarse"] = aux["live_frac_coarse"]
         metrics["live_frac_fine"] = aux["live_frac_fine"]
+        # Overflow INDICATOR (1.0 iff either pass overflowed here). Under
+        # data-parallel pmean the live_frac means can dilute one shard's
+        # overflow below 1.0; the mean of this indicator is nonzero iff
+        # ANY device overflowed, so detection survives the single fused
+        # all-reduce (parallel.train_sharded).
+        metrics["accel_overflow"] = (
+            jnp.maximum(aux["live_frac_coarse"], aux["live_frac_fine"]) > 1.0
+        ).astype(jnp.float32)
     return loss, metrics
 
 

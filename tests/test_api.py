@@ -71,3 +71,12 @@ def test_accel_mode_serves_close_images(assets_dir):
     mse = float(np.mean((exact - fast) ** 2))  # u8 scale
     psnr = 20 * np.log10(255.0) - 10 * np.log10(max(mse, 1e-12))
     assert psnr > 40.0, f"accel-served image deviates: {psnr:.1f} dB"
+
+    # accel=None keeps the current mode (docstring contract): a cfg-only
+    # re-init must neither drop nor rebake the grid.
+    baked = api._state["grid"]
+    api.init_renderer(cfg=SMALL.replace(ray_chunk=128))
+    assert api._state["grid"] is baked
+    # Explicit disable still works.
+    api.init_renderer(accel=False)
+    assert api._state["grid"] is None

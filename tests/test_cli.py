@@ -108,6 +108,23 @@ def test_cli_train_distill_and_resume(tmp_path, assets_dir):
     assert latest_checkpoint(ck).name == "step_00000004"
 
 
+def test_cli_train_accel_refresh(tmp_path, assets_dir, capsys):
+    """Occupancy-culled training path end-to-end: the grid refresh runs
+    (warmup honored), degenerate grids fall back to dense, and the loop
+    completes. A random-init student's grid is near-empty or (with heavy
+    exploration) near-full — both degenerate branches print and train
+    dense, which is exactly the designed behavior."""
+    args = ["train", "--steps", "3", "--batch-rays", "64",
+            "--coarse-samples", "4", "--fine-samples", "8",
+            "--ray-chunk", "64", "--impl", "xla", "--log-every", "1",
+            "--accel-every", "1", "--accel-res", "8",
+            "--accel-warmup", "1", "--accel-explore", "0.6"]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "accel:" in out  # refresh ran after warmup
+    assert "step 2" in out
+
+
 def test_cli_evaluate(tmp_path, assets_dir, capsys):
     ck = str(tmp_path / "ck")
     base = ["--coarse-samples", "4", "--fine-samples", "8",

@@ -112,6 +112,64 @@ def test_train_step_with_full_grid_matches_dense():
         assert (diff > 1e-5).mean() < 1e-3
 
 
+def test_sharded_step_divisibility_error():
+    """The friendly error must fire before shard_batch's device_put (which
+    raises its own, less helpful, divisibility error)."""
+    import pytest
+
+    mesh = make_mesh()
+    _, state = create_sharded_train_state(jax.random.key(0), TINY, mesh)
+    with pytest.raises(ValueError, match="does not divide"):
+        sharded_train_step(mesh, state, _batch(TINY.batch_rays + 1),
+                           jax.random.key(1), TINY)
+
+
+def test_accel_overflow_indicator():
+    """accel_overflow is 1.0 iff a pass overflowed its capacity — the
+    pmean-able indicator that survives cross-device dilution."""
+    from nerf_rs_tpu.accel import OccupancyGrid
+
+    grid = OccupancyGrid(
+        occ=jnp.ones((8, 8, 8), bool),
+        aabb_min=jnp.full((3,), -6.5, jnp.float32),
+        aabb_max=jnp.full((3,), 6.5, jnp.float32),
+    )
+    batch = _batch(TINY.batch_rays)
+    state = create_train_state(jax.random.key(0), TINY)
+
+    roomy = TINY.replace(render=TINY.render.replace(
+        accel_coarse_capacity=1.0, accel_fine_capacity=1.0))
+    _, m = nerf_loss(state.params, batch, jax.random.key(1), roomy, grid=grid)
+    assert float(m["accel_overflow"]) == 0.0
+    assert float(m["live_frac_coarse"]) <= 1.0
+
+    # Capacities round up to 1024 rows, so overflow needs live > 1024:
+    # 256 rays x 8 coarse = 2048 live rows vs a 1024-row capacity.
+    tight = TINY.replace(render=TINY.render.replace(
+        accel_coarse_capacity=0.01, accel_fine_capacity=0.01))
+    _, m = nerf_loss(state.params, _batch(256), jax.random.key(1), tight,
+                     grid=grid)
+    assert float(m["accel_overflow"]) == 1.0
+    assert float(m["live_frac_coarse"]) > 1.0
+
+
+def test_capacities_from_occupancy():
+    from nerf_rs_tpu.accel import capacities_from_occupancy
+
+    rc = RenderConfig(n_coarse=8, n_fine=8)
+    # Floored at the config defaults for tiny occupancy.
+    cap_c, cap_f = capacities_from_occupancy(0.001, rc)
+    assert cap_c == rc.accel_coarse_capacity
+    assert cap_f >= rc.accel_fine_capacity
+    # Mid occupancy: quantized to 1/8 steps, fine >= blend of coarse.
+    cap_c, cap_f = capacities_from_occupancy(0.2, rc)
+    assert abs(cap_c * 8 - round(cap_c * 8)) < 1e-9
+    assert cap_c >= 2.2 * 0.2 and cap_f >= (cap_c * 8 + 8) / 16
+    # Near-full occupancy saturates (cli train then falls back to dense).
+    cap_c, _ = capacities_from_occupancy(0.6, rc)
+    assert cap_c == 1.0
+
+
 def test_train_step_with_teacher_grid_learns(lego_params):
     """Occupancy-culled training against the pretrained teacher's grid:
     grads flow and the loss decreases."""
