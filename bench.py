@@ -12,7 +12,9 @@ NERF_BENCH_DTYPE (float32|bfloat16), NERF_BENCH_REPEATS (default 3),
 NERF_BENCH_SAMPLING (xla|pallas), NERF_BENCH_ACCEL (0|1: occupancy-grid
 empty-space skipping — PSNR-validated fast mode, tests/test_accel.py),
 NERF_BENCH_MODE (render|train: train measures full fwd+bwd+psum optimizer
-steps in rays/s with the same 64+128 sample config).
+steps in rays/s with the same 64+128 sample config),
+NERF_BENCH_DEADLINE (seconds, default 2400; 0 disables — emit an error
+record and exit if the backend wedges mid-run after a healthy init).
 """
 
 from __future__ import annotations
@@ -116,6 +118,35 @@ def _backend_alive(timeout_s: float):
                     "(axon tunnel outage?)")
 
 
+def _arm_deadline() -> None:
+    """The tunneled backend can wedge MID-benchmark (after a healthy init):
+    without a deadline the bench then never prints its JSON line at all.
+    A daemon timer emits an error record and hard-exits instead."""
+    import threading
+
+    deadline = float(os.environ.get("NERF_BENCH_DEADLINE", "2400"))
+    if deadline <= 0:
+        return
+
+    def fire():
+        mode = os.environ.get("NERF_BENCH_MODE", "render")
+        size = os.environ.get("NERF_BENCH_SIZE", "800")
+        metric = ("train rays/s (fwd+bwd+opt), 64+128 samples"
+                  if mode == "train" else
+                  f"fwd render rays/s, lego {size}x{size} 64+128 samples")
+        print(json.dumps({
+            "metric": metric, "value": 0.0, "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": f"benchmark exceeded {deadline:.0f}s deadline "
+                     "(backend wedged mid-run?)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     init_timeout = float(os.environ.get("NERF_BENCH_INIT_TIMEOUT", "300"))
     init_error = _backend_alive(init_timeout)
@@ -130,6 +161,7 @@ def main() -> None:
             "vs_baseline": 0.0, "error": init_error,
         }))
         return
+    _arm_deadline()
 
     import jax
 
