@@ -1,0 +1,33 @@
+"""Bitrot guard for the examples gallery: run the cheap examples as real
+subprocesses with tiny sizes (imports, flags, and API usage all exercised;
+heavyweight ones — 02 interpret-mode kernel, 03/07 training loops, 06
+multihost — are covered indirectly by the unit suite for the same APIs)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run(script, *args):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # examples force CPU via --cpu themselves
+    return subprocess.run(
+        [sys.executable, str(ROOT / "examples" / script), *args],
+        capture_output=True, text=True, timeout=600, env=env, cwd=ROOT,
+    )
+
+
+@pytest.mark.parametrize("script,args", [
+    ("01_render.py", ("--cpu", "--size", "16", "--out", "/tmp/ex01.png")),
+    ("04_multichip_render.py", ("--cpu", "--size", "16")),
+    ("05_occupancy_grid.py",
+     ("--cpu", "--size", "16", "--resolution", "16")),
+])
+def test_example_runs(script, args, assets_dir):
+    r = _run(script, *args)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
