@@ -82,6 +82,27 @@ def test_fused_grads_match_oracle(rand_params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4)
 
 
+def test_fused_grads_match_oracle_lego(lego_params):
+    """Gradient parity on the PRETRAINED weights too — their magnitudes
+    (post-training scales, saturated sigmoids/ReLUs) exercise different
+    numerics than He-init randomness."""
+    pts, dirs = _rand_inputs(32, seed=2)
+
+    def loss(mlp):
+        def f(p):
+            rgb, sigma = mlp(p, pts, dirs)
+            return jnp.mean(rgb) + 1e-3 * jnp.mean(sigma)
+        return f
+
+    for net in ("coarse", "fine"):
+        g_f = jax.grad(loss(fused_nerf_mlp))(lego_params[net])
+        g_o = jax.grad(loss(nerf_mlp))(lego_params[net])
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_o)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-4)
+
+
 def test_fused_grads_nondivisible_batch(rand_params):
     """Regression: batch sizes whose padded width is NOT a multiple of the
     backward tile (e.g. 640) must still produce full gradients — a
