@@ -92,3 +92,28 @@ def test_render_with_fused_sampling_close_to_xla(lego_params, golden):
     img_p = render_image(lego_params["coarse"], lego_params["fine"], cam,
                          8, 8, key, base.replace(sampling_impl="pallas"))
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-3)
+
+
+def test_render_fused_sampling_composes_with_accel(lego_params, golden):
+    """The two fast paths together (occupancy culling feeding the fused
+    resampler's sigma input, termination culling after it): image stays
+    close to the accel+XLA-sampling render."""
+    from nerf_rs_tpu.accel import build_scene_grid
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+    from nerf_rs_tpu.render import render_image
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=32, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=32 ** 3, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cam = camera_from_golden(golden)
+    key = jax.random.key(13)
+    base = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=64)
+    img_x = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                         8, 8, key, base, grid=grid)
+    img_p = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                         8, 8, key, base.replace(sampling_impl="pallas"),
+                         grid=grid)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-3)
