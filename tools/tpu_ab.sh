@@ -50,6 +50,7 @@ run psampling_800       NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLING=pallas
 run accel_800           NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
 # Winner combos
 run accel_interleave    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_FUSED_INTERLEAVE=1
+run accel_psampling     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_SAMPLING=pallas
 # Train mode
 run train               NERF_BENCH_MODE=train
 run train_accel         NERF_BENCH_MODE=train NERF_BENCH_ACCEL=1
