@@ -565,6 +565,11 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
             f"fused kernel is specialized to L=({_XF},{_DF}) encodings, "
             f"got ({x_freqs},{d_freqs}) — use impl='xla'"
         )
+    if tile % LANES or tile <= 0:
+        # n_pad inherits tile's alignment; the backward tile search assumes
+        # a 128-multiple and would otherwise fail mid-trace.
+        raise ValueError(f"tile must be a positive multiple of {LANES}, "
+                         f"got {tile}")
     interpret = not _is_tpu()
 
     def pack_x(points, viewdirs):
@@ -601,6 +606,11 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         # activation round-trips, unlike autodiff of the XLA oracle).
         params, points, viewdirs = res
         g_rgb, g_sigma = g
+        if sigma_only:
+            # The primal's rgb output is identically zero (color branch
+            # skipped), so an rgb cotangent must not inject phantom
+            # gradients through the color-branch weights.
+            g_rgb = jnp.zeros_like(g_rgb)
         x, n, t, batch_shape = pack_x(points, viewdirs)
         n_pad = x.shape[1]
         g6 = jnp.concatenate(

@@ -181,6 +181,10 @@ def fused_resample(
             f"got {t_c.shape[-1]}, {u.shape[-1]} — use sampling_impl='xla'"
         )
     n = t_c.shape[0]
+    if n == 0:
+        # The pad filler replicates row 0 and the tile math divides by the
+        # row count — an empty batch short-circuits (XLA path parity).
+        return jnp.zeros((0, _NC + _NF), jnp.float32)
     pad = (-n) % 512
     packed = jnp.concatenate(
         [t_c.astype(jnp.float32), sigma_c.astype(jnp.float32),

@@ -133,6 +133,33 @@ def test_fused_sigma_only_matches_full(rand_params):
     np.testing.assert_array_equal(np.asarray(rgb_s), 0.0)
 
 
+def test_fused_sigma_only_grads_no_phantom_rgb(rand_params):
+    """sigma_only's rgb output is identically zero, so a loss touching it
+    must see ZERO gradient through the color branch (the shared backward
+    kernel once injected phantom rgb-path gradients)."""
+    pts, dirs = _rand_inputs(8, seed=4)
+
+    def loss(mlp):
+        def f(p):
+            rgb, sigma = mlp(p, pts, dirs, sigma_only=True)
+            return jnp.sum(rgb * 2.0) + jnp.mean(sigma)
+        return f
+
+    g_f = jax.grad(loss(fused_nerf_mlp))(rand_params)
+    g_o = jax.grad(loss(nerf_mlp))(rand_params)
+    for (k, a), (_, b) in zip(sorted(g_f.items()), sorted(g_o.items())):
+        for part in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(a[part]), np.asarray(b[part]),
+                atol=1e-6, rtol=1e-4, err_msg=f"{k}/{part}")
+
+
+def test_fused_rejects_unaligned_tile(rand_params):
+    pts, dirs = _rand_inputs(4)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        fused_nerf_mlp(rand_params, pts, dirs, tile=1000)
+
+
 def test_pack_params_shapes(rand_params):
     from nerf_rs_tpu.ops.kernels.fused_mlp import (
         _AUX_ROWS, _BLOB_ROWS, _encode_projection,

@@ -71,6 +71,14 @@ def test_fused_resample_spiky_early_out():
     assert err.max() < 0.05  # flips land within the (small) bin width
 
 
+def test_fused_resample_empty_batch():
+    """0-ray batches short-circuit like the XLA path instead of dividing
+    by a zero tile size."""
+    out = fused_resample(jnp.zeros((0, 64)), jnp.zeros((0, 64)),
+                         jnp.zeros((0, 128)), 6.0)
+    assert out.shape == (0, 192)
+
+
 def test_fused_resample_sorted_and_in_range():
     t_c, sigma, u = _inputs(64, seed=2)
     out = np.asarray(fused_resample(t_c, sigma, u, 6.0))
