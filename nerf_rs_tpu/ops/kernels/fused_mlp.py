@@ -549,8 +549,7 @@ def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
     )(x, blob, aux)
 
 
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
+from nerf_rs_tpu.utils import round_up as _round_up
 
 
 def _is_tpu() -> bool:

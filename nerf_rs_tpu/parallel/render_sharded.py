@@ -30,8 +30,7 @@ from nerf_rs_tpu.parallel.mesh import RAY_AXIS, make_mesh
 from nerf_rs_tpu.render import _render_flat
 
 
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
+from nerf_rs_tpu.utils import round_up as _round_up
 
 
 def effective_chunk(n_rays: int, n_devices: int, cfg: RenderConfig) -> int:

@@ -58,8 +58,7 @@ def get_mlp_fn(cfg: RenderConfig):
     return xla_mlp
 
 
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
+from nerf_rs_tpu.utils import round_up as _round_up
 
 
 def _mlp_culled(mlp, params, pts, dirs_b, mask, capacity: int, sigma_only: bool):

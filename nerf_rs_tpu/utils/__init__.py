@@ -1,0 +1,6 @@
+"""Small shared helpers."""
+
+
+def round_up(v: int, m: int) -> int:
+    """Smallest multiple of ``m`` that is >= ``v``."""
+    return -(-v // m) * m
