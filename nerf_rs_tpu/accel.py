@@ -27,6 +27,7 @@ bounded by the mass the grid misses; validated at the image level
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -42,6 +43,42 @@ class OccupancyGrid(NamedTuple):
     @property
     def resolution(self) -> int:
         return self.occ.shape[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _default_grid_mlp_fn():
+    """One cached partial: a fresh partial per build would defeat
+    _grid_sweep's jit cache (mlp_fn identity is part of its key)."""
+    from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp
+
+    return functools.partial(fused_nerf_mlp, sigma_only=True, dtype="bfloat16")
+
+
+@functools.partial(jax.jit, static_argnames=("mlp_fn", "chunk", "r", "dilate"))
+def _grid_sweep(params, pts, sigma_threshold, *, mlp_fn, chunk: int, r: int,
+                dilate: int):
+    """Module-level jit (NOT a per-call closure) so repeated grid builds —
+    cli train --accel-every refreshes every N steps — compile once per
+    (mlp_fn, chunk, r, dilate) instead of every call."""
+    dirs = jnp.zeros((1, 3), jnp.float32).at[0, 2].set(1.0)  # sigma ignores dirs
+    n = pts.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+    def body(p):
+        _, sigma = mlp_fn(params, p, dirs)
+        return sigma
+
+    sig = jax.lax.map(body, pts_p).reshape(-1)[:n]
+    occ = (sig > sigma_threshold).reshape(r, r, r)
+    for _ in range(dilate):
+        occ = jax.lax.reduce_window(
+            occ, False, jax.lax.bitwise_or,
+            window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+    return occ
 
 
 def build_occupancy_grid(
@@ -61,11 +98,8 @@ def build_occupancy_grid(
     (~2M at 128^3 — tens of ms on a v5e).
     """
     if mlp_fn is None:
-        from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp
-        import functools
-
-        mlp_fn = functools.partial(fused_nerf_mlp, sigma_only=True,
-                                   dtype="bfloat16")
+        mlp_fn = _default_grid_mlp_fn()
+    chunk = min(chunk, resolution ** 3)  # don't pad a small sweep 64x
 
     lo, hi = float(aabb[0]), float(aabb[1])
     r = resolution
@@ -73,30 +107,8 @@ def build_occupancy_grid(
     gx, gy, gz = jnp.meshgrid(centers_1d, centers_1d, centers_1d, indexing="ij")
     pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)      # (r^3, 3)
 
-    dirs = jnp.zeros((1, 3), jnp.float32).at[0, 2].set(1.0)     # sigma ignores dirs
-
-    @jax.jit
-    def sweep(params, pts):
-        n = pts.shape[0]
-        n_chunks = -(-n // chunk)
-        pad = n_chunks * chunk - n
-        pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
-
-        def body(p):
-            _, sigma = mlp_fn(params, p, dirs)
-            return sigma
-
-        sig = jax.lax.map(body, pts_p).reshape(-1)[:n]
-        occ = (sig > sigma_threshold).reshape(r, r, r)
-        for _ in range(dilate):
-            occ = jax.lax.reduce_window(
-                occ, False, jax.lax.bitwise_or,
-                window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
-                padding="SAME",
-            )
-        return occ
-
-    occ = sweep(params, pts)
+    occ = _grid_sweep(params, pts, jnp.float32(sigma_threshold),
+                      mlp_fn=mlp_fn, chunk=chunk, r=r, dilate=dilate)
     return OccupancyGrid(
         occ=occ,
         aabb_min=jnp.full((3,), lo, jnp.float32),
@@ -188,6 +200,16 @@ def capacities_from_occupancy(frac: float, cfg, *, margin_coarse: float = 2.2,
     return cap_c, cap_f
 
 
+@jax.jit
+def _worst_chunk_frac(grid, origin, mids, dirs_chunks):
+    """Module-level jit (stable cache across suggest_capacities calls)."""
+    def body(d):
+        pts = origin + d[:, None, :] * mids[None, :, None]
+        return jnp.mean(query_occupancy(grid, pts).astype(jnp.float32))
+
+    return jnp.max(jax.lax.map(body, dirs_chunks))
+
+
 def suggest_capacities(grid: OccupancyGrid, camera, height: int, width: int,
                        cfg, margin: float = 1.3,
                        chunk: Optional[int] = None):
@@ -230,15 +252,8 @@ def suggest_capacities(grid: OccupancyGrid, camera, height: int, width: int,
     )
     origin = jnp.asarray(camera.position, jnp.float32)
 
-    @jax.jit
-    def worst_chunk_frac(dirs_chunks):
-        def body(d):
-            pts = origin + d[:, None, :] * mids[None, :, None]
-            return jnp.mean(query_occupancy(grid, pts).astype(jnp.float32))
-
-        return jnp.max(jax.lax.map(body, dirs_chunks))
-
-    worst = float(worst_chunk_frac(dirs_flat.reshape(-1, chunk, 3)))
+    worst = float(_worst_chunk_frac(grid, origin, mids,
+                                    dirs_flat.reshape(-1, chunk, 3)))
     coarse = min(1.0, margin * worst + 1e-3)
     fine_ub = (worst * cfg.n_coarse + cfg.n_fine) / (cfg.n_coarse + cfg.n_fine)
     fine = min(1.0, margin * fine_ub)
@@ -267,17 +282,29 @@ def calibrate_capacities(params_coarse, params_fine, grid: OccupancyGrid,
     """
     n = height * width
     # ``chunk`` overrides the partition to match a different chunking than
-    # render_image's (e.g. render_image_sharded's per-device chunk, which
-    # always divides render_image's — so measuring with ray_chunk=chunk
-    # reproduces the sharded chunk boundaries exactly).
+    # render_image's (e.g. render_image_sharded's per-device chunk). The
+    # measurement builds the SAME padded flat layout the real render uses
+    # — chunk-dividing padding with (1,1,1) pad rays — so the live counts
+    # cover exactly the chunks (pad rays included: their samples can hit
+    # occupied cells and consume capacity too). A plain render_image here
+    # would re-derive min(chunk, n) and mis-scale small images.
     chunk = chunk or min(cfg.ray_chunk, max(n, 1))
-    wide = cfg.replace(accel_coarse_capacity=1.0, accel_fine_capacity=1.0,
-                       ray_chunk=chunk)
-    from nerf_rs_tpu.render import render_image
+    wide = cfg.replace(accel_coarse_capacity=1.0, accel_fine_capacity=1.0)
+    from nerf_rs_tpu.ops.rays import camera_rays
+    from nerf_rs_tpu.render import _render_flat
+    from nerf_rs_tpu.utils import round_up
 
-    _, (live_c, live_f) = render_image(
-        params_coarse, params_fine, camera, height, width, key, wide,
-        grid=grid, return_live=True,
+    _, dirs = camera_rays(camera, height, width)
+    n_pad = round_up(max(n, 1), chunk)
+    dirs_flat = jnp.asarray(dirs, jnp.float32).reshape(n, 3)
+    if n_pad > n:
+        dirs_flat = jnp.concatenate(
+            [dirs_flat, jnp.ones((n_pad - n, 3), dirs_flat.dtype)], axis=0
+        )
+    _, (live_c, live_f) = _render_flat(
+        params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
+        jnp.asarray(camera.near), jnp.asarray(camera.far), key,
+        n_pad, wide, grid=grid, return_live=True, chunk=chunk,
     )
     coarse = min(1.0, margin * float(live_c) / (chunk * cfg.n_coarse))
     fine = min(1.0, margin * float(live_f)

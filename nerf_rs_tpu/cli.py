@@ -251,6 +251,16 @@ def cmd_train(args) -> int:
         # Seed folds in the resume step so a restored run draws fresh batches
         # instead of replaying the sequence from the beginning.
         grid = None
+        if args.accel_every:
+            # ONE function object for every refresh: mlp_fn identity keys
+            # accel._grid_sweep's jit cache, so a per-refresh lambda would
+            # recompile the sweep every N steps.
+            from nerf_rs_tpu.render import get_mlp_fn
+
+            _mlp = get_mlp_fn(cfg.render)
+
+            def accel_mlp_fn(p, x, d):
+                return _mlp(p, x, d, sigma_only=True)
 
         def refresh_grid(step):
             """Occupancy-culled training: bake the grid from the CURRENT
@@ -271,14 +281,10 @@ def cmd_train(args) -> int:
             import jax.numpy as jnp
 
             from nerf_rs_tpu.accel import build_scene_grid, capacities_from_occupancy
-            from nerf_rs_tpu.render import get_mlp_fn
 
-            mlp = get_mlp_fn(cfg.render)
             g = build_scene_grid(
                 state.params["coarse"], state.params["fine"],
-                resolution=args.accel_res,
-                chunk=min(262_144, args.accel_res ** 3),
-                mlp_fn=lambda p, x, d: mlp(p, x, d, sigma_only=True))
+                resolution=args.accel_res, mlp_fn=accel_mlp_fn)
             occ = np.asarray(g.occ)
             if args.accel_explore > 0:
                 rng = np.random.default_rng(cfg.seed + step)

@@ -27,12 +27,16 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> bool:
-    """Initialize the multi-host runtime (idempotent, env-var driven).
+    """Initialize the multi-host runtime (env-var driven).
 
     Arguments default to $JAX_COORDINATOR_ADDRESS / $JAX_NUM_PROCESSES /
-    $JAX_PROCESS_ID (also understands TPU pod env detection when args and
-    env are absent, via jax.distributed.initialize's auto mode). Returns
-    True when a multi-process runtime is active.
+    $JAX_PROCESS_ID. When both args and env are absent nothing is
+    attempted (single-process startup must stay cheap and offline);
+    set $NERF_MULTIHOST_AUTO=1 to opt into calling
+    ``jax.distributed.initialize()`` with no arguments, which uses JAX's
+    own cluster auto-detection (TPU pod / SLURM / Open MPI env). Returns
+    True when a multi-process runtime is active. Safe to call again after
+    a successful bring-up (the duplicate initialize is swallowed).
     """
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     num_processes = num_processes if num_processes is not None else (
@@ -41,23 +45,40 @@ def initialize(
     process_id = process_id if process_id is not None else (
         int(os.environ["JAX_PROCESS_ID"]) if "JAX_PROCESS_ID" in os.environ else None
     )
-    if coordinator_address is None and num_processes is None:
-        return jax.process_count() > 1  # single-process (or already auto-init)
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        if coordinator_address is None and num_processes is None:
+            if os.environ.get("NERF_MULTIHOST_AUTO") == "1":
+                jax.distributed.initialize()
+            return jax.process_count() > 1
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
     return jax.process_count() > 1
 
 
-def process_ray_slice(n_rays: int) -> slice:
-    """The contiguous slice of the global ray axis owned by this process
-    (rays are laid out process-major, matching mesh.make_mesh over
-    jax.devices() order)."""
-    per = -(-n_rays // jax.process_count())
-    lo = min(per * jax.process_index(), n_rays)
-    return slice(lo, min(lo + per, n_rays))
+def process_ray_slice(n_rays: int, cfg=None) -> slice:
+    """The contiguous slice of REAL (unpadded) global ray indices owned by
+    this process, matching render_flat_sharded's actual layout: the padded
+    ray axis is split n_per_dev rows per device, devices process-major
+    (mesh.make_mesh over jax.devices() order). A plain
+    ceil(n/process_count) would disagree with the per-device padding
+    whenever n_per_dev rounds up."""
+    from nerf_rs_tpu.config import RenderConfig
+    from nerf_rs_tpu.utils import round_up
+
+    cfg = cfg or RenderConfig()
+    n_dev = jax.device_count()
+    chunk = min(cfg.ray_chunk, round_up(max(n_rays // n_dev, 1), 128))
+    n_per_dev = round_up(-(-n_rays // n_dev), chunk)
+    first_dev = jax.process_index() * jax.local_device_count()
+    lo = first_dev * n_per_dev
+    hi = lo + jax.local_device_count() * n_per_dev
+    return slice(min(lo, n_rays), min(hi, n_rays))
 
 
 def gather_image_shards(local_pixels: np.ndarray, n_rays: int) -> Optional[np.ndarray]:

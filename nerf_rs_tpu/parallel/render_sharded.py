@@ -36,26 +36,23 @@ from nerf_rs_tpu.utils import round_up as _round_up
 def effective_chunk(n_rays: int, n_devices: int, cfg: RenderConfig) -> int:
     """The per-device lax.map chunk the sharded render actually uses —
     pass to accel.{suggest,calibrate}_capacities so capacity tuning sees
-    the same chunk partition (it always divides render_image's chunk, so
-    the single-device measurement reproduces the sharded boundaries)."""
-    chunk = min(cfg.ray_chunk, _round_up(max(n_rays // n_devices, 1), 128))
-    n_per_dev = _round_up(-(-n_rays // n_devices), chunk)
-    # _render_flat re-derives its chunk as min(cfg.ray_chunk, n_per_dev) —
-    # which can exceed ``chunk`` when n_rays//n_devices is 128-aligned with
-    # a nonzero remainder (n_per_dev then rounds up to 2*chunk).
-    return min(cfg.ray_chunk, n_per_dev)
+    the same chunk partition. It is exactly the chunk the per-device
+    padding is a multiple of (the sharded render passes it through to
+    _render_flat explicitly)."""
+    return min(cfg.ray_chunk, _round_up(max(n_rays // n_devices, 1), 128))
 
 
-@functools.partial(jax.jit, static_argnames=("n_per_dev", "cfg", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_per_dev", "cfg", "mesh", "chunk"))
 def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
                          far, key, n_per_dev: int, cfg: RenderConfig, mesh,
-                         grid=None):
+                         grid=None, chunk: Optional[int] = None):
     def per_device(dirs_shard):
         dev = jax.lax.axis_index(RAY_AXIS)
         base = (dev * n_per_dev).astype(jnp.int32)
         return _render_flat(params_coarse, params_fine, origin, dirs_shard,
                             near, far, key, n_per_dev, cfg, ray_id_base=base,
-                            grid=grid)
+                            grid=grid, chunk=chunk)
 
     fn = shard_map(
         per_device, mesh=mesh,
@@ -124,6 +121,6 @@ def render_flat_sharded(
     rgb = _render_flat_sharded(
         params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
         jnp.asarray(camera.near), jnp.asarray(camera.far), key,
-        n_per_dev, cfg, mesh, grid=grid,
+        n_per_dev, cfg, mesh, grid=grid, chunk=chunk,
     )
     return rgb, n

@@ -241,16 +241,24 @@ def render_rays(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_rays_padded", "cfg", "return_live"))
+                   static_argnames=("n_rays_padded", "cfg", "return_live",
+                                    "chunk"))
 def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
                  n_rays_padded: int, cfg: RenderConfig, ray_id_base: jnp.ndarray = 0,
-                 grid=None, return_live: bool = False):
+                 grid=None, return_live: bool = False,
+                 chunk: Optional[int] = None):
     """Chunked render of (N_padded, 3) unit dirs via lax.map. Per-ray RNG
     streams are derived from the GLOBAL ray index (ray_id_base + position),
     so the result is independent of the chunk size and of how rays were
     sharded across devices. With ``return_live`` (accel calibration) also
-    returns the worst-chunk (coarse, fine) live sample counts."""
-    chunk = min(cfg.ray_chunk, n_rays_padded)
+    returns the worst-chunk (coarse, fine) live sample counts.
+
+    ``chunk`` overrides the default min(cfg.ray_chunk, n_rays_padded)
+    partition — the sharded render passes the per-device chunk its
+    padding was computed with (the default need not divide a padded
+    per-device shard, e.g. ray_chunk=12288 with an 8192-aligned shard
+    rounded up to 16384)."""
+    chunk = chunk or min(cfg.ray_chunk, n_rays_padded)
     n_chunks = n_rays_padded // chunk
     dirs_chunks = dirs_flat.reshape(n_chunks, chunk, 3)
 

@@ -160,19 +160,40 @@ def test_effective_chunk_matches_sharded_partition():
     from nerf_rs_tpu.config import RenderConfig
     from nerf_rs_tpu.parallel.render_sharded import _round_up, effective_chunk
 
-    # 1028/8: n//n_dev is 128-aligned with a remainder, so n_per_dev
-    # rounds up to 2*chunk — the case where min(chunk, n_per_dev) used to
-    # disagree with _render_flat's min(ray_chunk, n_per_dev).
+    # 1028/8 and 1025/8 (ray_chunk=192): n//n_dev is 128-aligned with a
+    # remainder, so n_per_dev rounds up past the chunk — the sharded
+    # render now passes its chunk to _render_flat explicitly, so the
+    # partition is always the one the padding was computed with.
     for n, n_dev, ray_chunk in [(256 * 256, 8, 8192), (48 * 48, 8, 2048),
                                 (100, 8, 8192), (800 * 800, 4, 16384),
-                                (1028, 8, 8192)]:
+                                (1028, 8, 8192), (1025, 8, 192),
+                                (32769, 4, 12288)]:
         cfg = RenderConfig(ray_chunk=ray_chunk)
         # replicate render_image_sharded's internal math
         chunk = min(cfg.ray_chunk, _round_up(max(n // n_dev, 1), 128))
         n_per_dev = _round_up(-(-n // n_dev), chunk)
-        inner = min(cfg.ray_chunk, n_per_dev)   # _render_flat's chunk
         eff = effective_chunk(n, n_dev, cfg)
-        assert eff == inner, (n, n_dev, ray_chunk, eff, inner)
+        assert eff == chunk, (n, n_dev, ray_chunk, eff, chunk)
         # single-device measurement with ray_chunk=eff uses the same
         # partition (eff divides both n_per_dev and the padded total)
         assert n_per_dev % eff == 0
+
+
+def test_render_sharded_nondividing_ray_chunk(lego_params, golden):
+    """Regression: a ray_chunk that does not divide the padded per-device
+    shard (1025 rays / 8 devices, ray_chunk=192 -> shard 256) used to
+    crash _render_flat's reshape at trace time; it must render and match
+    the single-device image bitwise."""
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
+    from nerf_rs_tpu.render import render_image
+
+    cam = camera_from_golden(golden)
+    cfg = RenderConfig(n_coarse=4, n_fine=4, ray_chunk=192)
+    key = jax.random.key(5)
+    h, w = 25, 41  # 1025 rays
+    img_s = render_image_sharded(lego_params["coarse"], lego_params["fine"],
+                                 cam, h, w, key, cfg)
+    img_1 = render_image(lego_params["coarse"], lego_params["fine"],
+                         cam, h, w, key, cfg)
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
