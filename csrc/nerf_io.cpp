@@ -67,9 +67,9 @@ int nio_read_f32(const char *path, float *out, int64_t count) {
     return -2;
   }
   int64_t bytes = count * static_cast<int64_t>(sizeof(float));
-  if (st.st_size < bytes) {
+  if (st.st_size != bytes) {
     close(fd);
-    return -3;  // file too small
+    return -3;  // size mismatch (matches the numpy fallback's exact check)
   }
   void *mapped = mmap(nullptr, bytes, PROT_READ, MAP_PRIVATE, fd, 0);
   if (mapped == MAP_FAILED) {

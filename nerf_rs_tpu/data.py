@@ -17,6 +17,7 @@ Both emit ray batches {origins, dirs, rgb, near, far} for train.train_step.
 
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 from typing import Dict, Iterator, Optional, Tuple
@@ -67,15 +68,25 @@ class BlenderDataset:
             self.cameras.append(cam)
         self.height, self.width = self.images[0].shape[:2]
         # Precompute all rays + targets as flat arrays for uniform sampling.
-        origins, dirs, rgbs = [], [], []
+        # Ray directions are pure host math — pin to the CPU backend so a
+        # tunneled accelerator doesn't eat one ~30 ms round-trip per frame.
+        # A pinhole camera has ONE origin per frame: store (F, 3) origins +
+        # a per-ray frame index (4 B/ray) instead of a dense (N, 3) copy.
+        cpu = jax.devices("cpu")[0]
+        dirs, rgbs = [], []
+        self.frame_origins = np.stack(
+            [np.asarray(c.position, np.float32) for c in self.cameras])
         for img, cam in zip(self.images, self.cameras):
-            o, d = camera_rays(cam, self.height, self.width)
-            origins.append(np.asarray(o).reshape(-1, 3))
+            with jax.default_device(cpu):
+                _, d = camera_rays(cam, self.height, self.width)
             dirs.append(np.asarray(d).reshape(-1, 3))
             rgbs.append(img.reshape(-1, 3))
-        self.origins = np.concatenate(origins)
         self.dirs = np.concatenate(dirs)
         self.rgb = np.concatenate(rgbs)
+        rays_per_frame = self.height * self.width
+        self.frame_idx = np.repeat(
+            np.arange(len(self.cameras), dtype=np.int32), rays_per_frame)
+        self.images.clear()  # flattened into self.rgb; drop the extra copy
         self.near = float(near)
         self.far = float(far)
 
@@ -88,7 +99,7 @@ class BlenderDataset:
         while True:
             idx = rng.integers(0, n, size=batch_rays)
             yield {
-                "origins": jnp.asarray(self.origins[idx]),
+                "origins": jnp.asarray(self.frame_origins[self.frame_idx[idx]]),
                 "dirs": jnp.asarray(self.dirs[idx]),
                 "rgb": jnp.asarray(self.rgb[idx]),
                 "near": jnp.float32(self.near),
@@ -109,37 +120,45 @@ class DistillationDataset:
         self.cfg = cfg or RenderConfig(n_coarse=64, n_fine=128)
         self.seed = seed
 
-    def _random_dirs(self, key, batch: int):
-        """Rays from random upper-hemisphere viewpoints toward the origin,
-        jittered within the camera FOV."""
-        k1, k2 = jax.random.split(key)
-        v = jax.random.normal(k1, (batch, 3))
-        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-        origins = v.at[:, 2].set(jnp.abs(v[:, 2])) * self.radius
-        to_center = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
-        jitter = jax.random.normal(k2, (batch, 3)) * 0.18
-        dirs = to_center + jitter
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        return origins, dirs
-
     def batches(self, batch_rays: int, seed: int = 0) -> Iterator[Dict]:
-        from nerf_rs_tpu.render import render_rays
-
         key = jax.random.key(self.seed + seed)
         step = 0
+        near, far = jnp.float32(self.near), jnp.float32(self.far)
         while True:
-            k = jax.random.fold_in(key, step)
-            ko, kr = jax.random.split(k)
-            origins, dirs = self._random_dirs(ko, batch_rays)
-            rgb = render_rays(
-                self.params["coarse"], self.params["fine"], origins, dirs,
-                jnp.float32(self.near), jnp.float32(self.far), kr, self.cfg,
+            origins, dirs, rgb = _distill_batch(
+                self.params, jax.random.fold_in(key, step),
+                jnp.float32(self.radius), near, far, batch_rays, self.cfg,
             )
             yield {
                 "origins": origins,
                 "dirs": dirs,
                 "rgb": jax.lax.stop_gradient(rgb),
-                "near": jnp.float32(self.near),
-                "far": jnp.float32(self.far),
+                "near": near,
+                "far": far,
             }
             step += 1
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "cfg"))
+def _distill_batch(params, key, radius, near, far, batch: int, cfg):
+    """One jitted program per batch: viewpoint sampling + the full teacher
+    render. Un-jitted, every jnp primitive here dispatched separately —
+    hundreds of ~30 ms round-trips per batch on the tunneled TPU, dwarfing
+    the actual train step.
+
+    Viewpoints: random upper-hemisphere positions looking at the origin,
+    ray directions jittered within the camera FOV."""
+    from nerf_rs_tpu.render import render_rays
+
+    ko, kr = jax.random.split(key)
+    k1, k2 = jax.random.split(ko)
+    v = jax.random.normal(k1, (batch, 3))
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    origins = v.at[:, 2].set(jnp.abs(v[:, 2])) * radius
+    to_center = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
+    jitter = jax.random.normal(k2, (batch, 3)) * 0.18
+    dirs = to_center + jitter
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rgb = render_rays(params["coarse"], params["fine"], origins, dirs,
+                      near, far, kr, cfg)
+    return origins, dirs, rgb

@@ -61,8 +61,20 @@ def load_ppm(path) -> np.ndarray:
 
 
 def pixels_to_rgba(pixels: np.ndarray) -> np.ndarray:
-    """Flat RGBA u8 buffer with A=255 (reference pixels_to_rgba, lib.rs:582-592)."""
-    rgb = quantize_u8(np.asarray(pixels).reshape(-1, 3))
+    """Flat RGBA u8 buffer with A=255 (reference pixels_to_rgba, lib.rs:582-592).
+
+    Serving hot path (api.render_image_rgba -> every viewer frame): uses
+    the threaded C quantize+interleave when built, numpy otherwise —
+    byte-identical either way (tests/test_io.py)."""
+    px = np.asarray(pixels, dtype=np.float32).reshape(-1, 3)
+    try:
+        from nerf_rs_tpu.io import native
+
+        if native.available():
+            return native.rgb_to_rgba(px)
+    except Exception:
+        pass
+    rgb = quantize_u8(px)
     rgba = np.empty((rgb.shape[0], 4), dtype=np.uint8)
     rgba[:, :3] = rgb
     rgba[:, 3] = 255

@@ -99,8 +99,11 @@ def quantize_u8(pixels: np.ndarray) -> np.ndarray:
         raise RuntimeError("native IO unavailable")
     flat = np.ascontiguousarray(pixels, np.float32).reshape(-1)
     out = np.empty(flat.shape, np.uint8)
-    lib.nio_quantize_u8(flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), flat.size)
+    rc = lib.nio_quantize_u8(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), flat.size)
+    if rc != 0:
+        raise IOError(f"nio_quantize_u8 failed with code {rc}")
     return out.reshape(pixels.shape)
 
 
@@ -110,9 +113,11 @@ def rgb_to_rgba(pixels: np.ndarray) -> np.ndarray:
         raise RuntimeError("native IO unavailable")
     rgb = np.ascontiguousarray(pixels, np.float32).reshape(-1, 3)
     out = np.empty((rgb.shape[0], 4), np.uint8)
-    lib.nio_rgb_to_rgba_u8(rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                           rgb.shape[0])
+    rc = lib.nio_rgb_to_rgba_u8(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), rgb.shape[0])
+    if rc != 0:
+        raise IOError(f"nio_rgb_to_rgba_u8 failed with code {rc}")
     return out.reshape(-1)
 
 

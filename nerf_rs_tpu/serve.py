@@ -33,12 +33,20 @@ let seed = 0;
 btn.onclick = async () => {
   status.textContent = 'rendering on TPU...';
   const t0 = performance.now();
-  const resp = await fetch(`/render?width=256&height=256&seed=${seed++}`);
-  const meta = JSON.parse(resp.headers.get('x-render-meta'));
-  const buf = new Uint8ClampedArray(await resp.arrayBuffer());
-  const ctx = document.getElementById('canvas').getContext('2d');
-  ctx.putImageData(new ImageData(buf, meta.width, meta.height), 0, 0);
-  status.textContent = `rendered in ${(performance.now()-t0).toFixed(0)} ms (device: ${meta.device_ms.toFixed(0)} ms)`;
+  try {
+    const resp = await fetch(`/render?width=256&height=256&seed=${seed++}`);
+    if (!resp.ok) {
+      status.textContent = `render failed (${resp.status}): ${await resp.text()}`;
+      return;
+    }
+    const meta = JSON.parse(resp.headers.get('x-render-meta'));
+    const buf = new Uint8ClampedArray(await resp.arrayBuffer());
+    const ctx = document.getElementById('canvas').getContext('2d');
+    ctx.putImageData(new ImageData(buf, meta.width, meta.height), 0, 0);
+    status.textContent = `rendered in ${(performance.now()-t0).toFixed(0)} ms (device: ${meta.device_ms.toFixed(0)} ms)`;
+  } catch (e) {
+    status.textContent = `render failed: ${e}`;
+  }
 };
 </script>
 </body></html>
@@ -58,11 +66,15 @@ class Handler(BaseHTTPRequestHandler):
             return
         if url.path == "/render":
             q = parse_qs(url.query)
-            width = int(q.get("width", ["256"])[0])
-            height = int(q.get("height", ["256"])[0])
-            seed = int(q.get("seed", ["0"])[0])
+            try:
+                width = int(q.get("width", ["256"])[0])
+                height = int(q.get("height", ["256"])[0])
+                seed = int(q.get("seed", ["0"])[0])
+            except ValueError:
+                width = height = -1  # falls through to the 400 below
+                seed = 0
             if not (0 < width <= 2048 and 0 < height <= 2048):
-                msg = b"width/height must be in 1..2048"
+                msg = b"width/height/seed must be integers, size in 1..2048"
                 self.send_response(400)
                 self.send_header("content-length", str(len(msg)))
                 self.end_headers()
