@@ -4,8 +4,11 @@ Headline config is the BASELINE.json north-star workload: 800x800 image,
 64 coarse + 128 fine samples/ray, hierarchical coarse/fine pipeline on
 however many chips are visible. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
-vs_baseline is value / 10e6 — the 10M rays/s/chip north-star target
-(the reference itself publishes no numbers, BASELINE.md).
+vs_baseline: value / (chips x 10M rays/s) in render mode — the north-star
+forward target — and value / (chips x 1M rays/s) in train mode (a full
+fwd+bwd+opt step is ~3x the forward FLOPs plus optimizer + collective
+work; see BASELINE.md targets — the reference itself publishes no
+numbers and cannot train at all).
 
 Env knobs: NERF_BENCH_SIZE (default 800), NERF_BENCH_IMPL (xla|pallas),
 NERF_BENCH_DTYPE (float32|bfloat16), NERF_BENCH_REPEATS (default 3),
@@ -32,7 +35,6 @@ def _bench_train(cfg, repeats: int) -> None:
     import numpy as np
 
     from nerf_rs_tpu.config import TrainConfig
-    from nerf_rs_tpu.parallel.mesh import make_mesh
     from nerf_rs_tpu.parallel.train_sharded import (
         create_sharded_train_state,
         sharded_train_step,
@@ -80,13 +82,35 @@ def _bench_train(cfg, repeats: int) -> None:
     rays_per_s = batch_rays / min(times)
     n_chips = jax.device_count()
     print(json.dumps({
-        "metric": f"train rays/s (fwd+bwd+opt), 64+128 samples, "
-                  f"{cfg.impl}/{cfg.dtype}"
-                  f"{'+accel' if grid is not None else ''}, {n_chips} chip(s)",
+        "metric": f"{_metric_name(impl=cfg.impl, dtype=cfg.dtype, accel=grid is not None, sampling=cfg.sampling_impl)}, {n_chips} chip(s)",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
+        # Train target: 1M rays/s/chip (fwd+bwd+opt; see module docstring).
         "vs_baseline": round(rays_per_s / (n_chips * 1_000_000.0), 4),
     }))
+
+
+def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
+    """One metric string shared by the success, init-error, and deadline
+    records, so metric-keyed joins of bench history see the same benchmark
+    across healthy and outage rows. Error paths use the env-derived
+    defaults; success paths pass the values that actually ran. (Success
+    records append ', N chip(s)' — unknowable during an outage.)"""
+    mode = os.environ.get("NERF_BENCH_MODE", "render")
+    size = os.environ.get("NERF_BENCH_SIZE", "800")
+    if impl is None:
+        impl = os.environ.get("NERF_BENCH_IMPL", "pallas")
+    if dtype is None:
+        dtype = os.environ.get("NERF_BENCH_DTYPE", "bfloat16")
+    if accel is None:
+        accel = os.environ.get("NERF_BENCH_ACCEL", "0") not in ("0", "", "false")
+    if sampling is None:
+        sampling = os.environ.get("NERF_BENCH_SAMPLING", "xla")
+    suffix = (f"{impl}/{dtype}" + ("+accel" if accel else "")
+              + ("+psampling" if sampling == "pallas" else ""))
+    if mode == "train":
+        return f"train rays/s (fwd+bwd+opt), 64+128 samples, {suffix}"
+    return f"fwd render rays/s, lego {size}x{size} 64+128 samples, {suffix}"
 
 
 def _backend_alive(timeout_s: float):
@@ -129,13 +153,8 @@ def _arm_deadline() -> None:
         return
 
     def fire():
-        mode = os.environ.get("NERF_BENCH_MODE", "render")
-        size = os.environ.get("NERF_BENCH_SIZE", "800")
-        metric = ("train rays/s (fwd+bwd+opt), 64+128 samples"
-                  if mode == "train" else
-                  f"fwd render rays/s, lego {size}x{size} 64+128 samples")
         print(json.dumps({
-            "metric": metric, "value": 0.0, "unit": "rays/s",
+            "metric": _metric_name(), "value": 0.0, "unit": "rays/s",
             "vs_baseline": 0.0,
             "error": f"benchmark exceeded {deadline:.0f}s deadline "
                      "(backend wedged mid-run?)",
@@ -151,13 +170,8 @@ def main() -> None:
     init_timeout = float(os.environ.get("NERF_BENCH_INIT_TIMEOUT", "300"))
     init_error = _backend_alive(init_timeout)
     if init_error is not None:
-        mode = os.environ.get("NERF_BENCH_MODE", "render")
-        size = os.environ.get("NERF_BENCH_SIZE", "800")
-        metric = ("train rays/s (fwd+bwd+opt), 64+128 samples"
-                  if mode == "train" else
-                  f"fwd render rays/s, lego {size}x{size} 64+128 samples")
         print(json.dumps({
-            "metric": metric, "value": 0.0, "unit": "rays/s",
+            "metric": _metric_name(), "value": 0.0, "unit": "rays/s",
             "vs_baseline": 0.0, "error": init_error,
         }))
         return
@@ -229,10 +243,8 @@ def main() -> None:
     best = min(times)
     rays_per_s = n_rays / best
     n_chips = jax.device_count()
-    mode = ("+accel" if accel else "") + ("+psampling" if sampling == "pallas" else "")
     result = {
-        "metric": f"fwd render rays/s, lego {size}x{size} 64+128 samples, "
-                  f"{impl}/{dtype}{mode}, {n_chips} chip(s)",
+        "metric": f"{_metric_name(impl=impl, dtype=dtype, accel=accel, sampling=sampling)}, {n_chips} chip(s)",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / (n_chips * 10_000_000.0), 4),

@@ -148,8 +148,11 @@ def cmd_verify(args) -> int:
     from nerf_rs_tpu.models.mlp import nerf_mlp
 
     params, _ = _load_scene(args)
-    assets = Path(args.weights) if args.weights else find_lego_assets()
-    golden = load_golden(assets / "tf_reference_samples.json")
+    if args.camera:
+        golden = load_golden(args.camera)
+    else:
+        assets = Path(args.weights) if args.weights else find_lego_assets()
+        golden = load_golden(assets / "tf_reference_samples.json")
 
     if args.impl == "pallas":
         from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp
@@ -188,7 +191,6 @@ def cmd_train(args) -> int:
         restore_checkpoint,
         save_checkpoint,
     )
-    from nerf_rs_tpu.parallel.mesh import make_mesh
     from nerf_rs_tpu.parallel.train_sharded import (
         create_sharded_train_state,
         sharded_train_step,
@@ -286,15 +288,18 @@ def cmd_train(args) -> int:
                 state.params["coarse"], state.params["fine"],
                 resolution=args.accel_res, mlp_fn=accel_mlp_fn)
             occ = np.asarray(g.occ)
+            # Near-empty check on the RAW grid: exploration cells would
+            # mask an unformed density field and this guard would go dead.
+            raw_frac = float(occ.mean())
+            if raw_frac < 0.005:
+                print(f"accel: grid only {raw_frac:.2%} occupied — "
+                      "training dense until density forms")
+                return None, cfg
             if args.accel_explore > 0:
                 rng = np.random.default_rng(cfg.seed + step)
                 occ = occ | (rng.random(occ.shape) < args.accel_explore)
                 g = g._replace(occ=jnp.asarray(occ))
-            frac = float(occ.mean())
-            if frac < 0.005:
-                print(f"accel: grid only {frac:.2%} occupied — "
-                      "training dense until density forms")
-                return None, cfg
+            frac = float(occ.mean())  # capacities cover explore cells too
             cap_c, cap_f = capacities_from_occupancy(frac, cfg.render)
             if cap_c >= 1.0:
                 print(f"accel: grid {frac:.1%} occupied — compaction "
@@ -354,6 +359,8 @@ def cmd_evaluate(args) -> int:
     from nerf_rs_tpu.render import render_image
     from nerf_rs_tpu.train import create_train_state
 
+    if args.checkpoint is None and args.checkpoint_dir is None:
+        sys.exit("error: pass --checkpoint or --checkpoint-dir")
     teacher, camera = _load_scene(args)
     cfg = _render_config(args)
     ckpt = args.checkpoint or latest_checkpoint(args.checkpoint_dir)

@@ -10,7 +10,6 @@ lib.rs:309, CDF denom clamp 1e-6 lib.rs:343). Here they live in frozen
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

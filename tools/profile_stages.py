@@ -42,6 +42,9 @@ MACS_PER_SAMPLE = 593_408  # full network, unpadded
 
 def main():
     assets = find_lego_assets()
+    if assets is None:
+        raise SystemExit("pretrained lego assets not found "
+                         "(set $NERF_RS_TPU_ASSETS)")
     params_c = load_nerf_params(assets / "coarse")
     params_f = load_nerf_params(assets / "fine")
     camera = camera_from_golden(load_golden(assets / "tf_reference_samples.json"))

@@ -8,19 +8,10 @@ set -u
 LOG="${1:-/tmp/tpu_ab.jsonl}"
 cd "$(dirname "$0")/.."
 
+# Reuse bench.py's daemon-thread device probe (single source of truth).
 probe() {
-  timeout 120 python - <<'EOF'
-import threading, sys
-ok = {}
-def p():
-    import jax
-    try:
-        jax.devices(); ok["y"] = True
-    except Exception:
-        pass
-t = threading.Thread(target=p, daemon=True); t.start(); t.join(100)
-sys.exit(0 if "y" in ok else 1)
-EOF
+  timeout 120 python -c \
+    'import sys, bench; sys.exit(0 if bench._backend_alive(100) is None else 1)'
 }
 
 if ! probe; then
@@ -32,7 +23,10 @@ run() {
   local name="$1"; shift
   echo "=== $name ($(date +%H:%M:%S)) ===" >&2
   local out
-  out=$(timeout 1800 env "$@" NERF_BENCH_INIT_TIMEOUT=240 python bench.py 2>/tmp/tpu_ab_stderr.log)
+  # Internal deadline below the shell timeout so a mid-run wedge still
+  # yields bench.py's diagnostic JSON record, not a bare "exit 124".
+  out=$(timeout 1800 env "$@" NERF_BENCH_INIT_TIMEOUT=240 \
+        NERF_BENCH_DEADLINE=1500 python bench.py 2>/tmp/tpu_ab_stderr.log)
   local rc=$?
   if [ $rc -ne 0 ] || [ -z "$out" ]; then
     echo "{\"config\": \"$name\", \"error\": \"exit $rc\"}" >> "$LOG"
