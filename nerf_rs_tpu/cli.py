@@ -98,29 +98,39 @@ def cmd_render(args) -> int:
     if args.sharded:
         from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
 
-        def run(k):
+        def run(k, cam):
             return render_image_sharded(params["coarse"], params["fine"],
-                                        camera, args.height, args.width, k, cfg,
+                                        cam, args.height, args.width, k, cfg,
                                         grid=grid)
     else:
-        def run(k):
-            return render_image(params["coarse"], params["fine"], camera,
+        def run(k, cam):
+            return render_image(params["coarse"], params["fine"], cam,
                                 args.height, args.width, k, cfg, grid=grid)
+
+    from nerf_rs_tpu.ops.rays import orbit_camera
+
+    n_frames = max(1, args.orbit)
+    out = Path(args.output)
+
+    def save(path, img):
+        if path.suffix.lower() == ".ppm":
+            save_ppm(path, img, args.height, args.width)
+        else:
+            save_png(path, img, args.height, args.width)
+        print(f"Wrote {path}")
 
     t0 = time.perf_counter()
     with device_trace(args.trace_dir):
-        img = run(jax.random.key(args.seed))
-        img = np.asarray(img)
+        for fi in range(n_frames):
+            cam_i = camera if n_frames == 1 else orbit_camera(
+                camera, 2.0 * np.pi * fi / n_frames)
+            img = np.asarray(run(jax.random.key(args.seed), cam_i))
+            save(out if n_frames == 1
+                 else out.with_name(f"{out.stem}_{fi:03d}{out.suffix}"), img)
     dt = time.perf_counter() - t0
-    rays = args.width * args.height
+    rays = args.width * args.height * n_frames
     print(f"Rendering completed in {dt:.2f} seconds ({rays / dt:,.0f} rays/s, "
           f"includes compile on first run)")
-    out = Path(args.output)
-    if out.suffix.lower() == ".ppm":
-        save_ppm(out, img, args.height, args.width)
-    else:
-        save_png(out, img, args.height, args.width)
-    print(f"Wrote {out}")
     return 0
 
 
@@ -442,6 +452,11 @@ def main(argv=None) -> int:
                    help="measure capacities with one instrumented render "
                         "(tighter than the default geometry estimate)")
     p.add_argument("--trace-dir", help="write a jax.profiler trace here")
+    p.add_argument("--orbit", type=int, default=0,
+                   help="render N turntable frames rotating the camera "
+                        "about the scene's z-axis (output gets _000.. "
+                        "suffixes; accel capacities are tuned on the base "
+                        "view — the sweep keeps the same camera distance)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("benchmark", help="rays/s benchmark (prints one JSON line)")

@@ -66,3 +66,21 @@ def camera_rays(cam: Camera, height: int, width: int) -> Tuple[jnp.ndarray, jnp.
     dirs = _normalize(ray_directions(cam, height, width))
     origins = jnp.broadcast_to(cam.position, dirs.shape)
     return origins, dirs
+
+
+def orbit_camera(cam: Camera, angle, target=(0.0, 0.0, 0.0)) -> Camera:
+    """Rigidly rotate the camera by ``angle`` radians about the world
+    z-axis through ``target`` (default: the scene origin, the lego
+    bundle's center) — the turntable/novel-view sweep the reference has
+    no tooling for. angle=0 returns the camera unchanged (exactly:
+    R is the identity)."""
+    a = jnp.asarray(angle, jnp.float32)
+    c, s = jnp.cos(a), jnp.sin(a)
+    rot = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]],
+                    jnp.float32)
+    t = jnp.asarray(target, jnp.float32)
+    return cam._replace(
+        position=rot @ (jnp.asarray(cam.position, jnp.float32) - t) + t,
+        forward=rot @ jnp.asarray(cam.forward, jnp.float32),
+        up=rot @ jnp.asarray(cam.up, jnp.float32),
+    )

@@ -45,6 +45,25 @@ def test_cli_render_ppm_sharded(tmp_path, assets_dir):
     assert np.isfinite(img).all()
 
 
+def test_cli_render_orbit(tmp_path, assets_dir):
+    out = tmp_path / "turn.png"
+    rc = main([
+        "render", "--width", "8", "--height", "8",
+        "--coarse-samples", "4", "--fine-samples", "4",
+        "--ray-chunk", "64", "--impl", "xla", "--orbit", "3",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    frames = sorted(tmp_path.glob("turn_*.png"))
+    assert [f.name for f in frames] == ["turn_000.png", "turn_001.png",
+                                        "turn_002.png"]
+    from nerf_rs_tpu.io.image import load_png
+
+    f0, f1 = load_png(frames[0]), load_png(frames[1])
+    assert f0.shape == (8, 8, 3)
+    assert np.abs(f0 - f1).max() > 0  # the view actually changed
+
+
 def test_cli_verify_golden(assets_dir, capsys):
     assert main(["verify", "--impl", "xla"]) == 0
     out = capsys.readouterr().out

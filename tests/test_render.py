@@ -179,6 +179,33 @@ def test_effective_chunk_matches_sharded_partition():
         assert n_per_dev % eff == 0
 
 
+def test_orbit_camera(golden):
+    """orbit_camera(0) is the identity (exactly), a full turn returns to
+    the start, and the orbit is a rigid rotation: distance to the target
+    axis and the camera basis' orthonormality are preserved."""
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.ops.rays import camera_basis, orbit_camera
+
+    cam = camera_from_golden(golden)
+    same = orbit_camera(cam, 0.0)
+    np.testing.assert_array_equal(np.asarray(same.position),
+                                  np.asarray(cam.position))
+    np.testing.assert_array_equal(np.asarray(same.forward),
+                                  np.asarray(cam.forward))
+
+    full = orbit_camera(cam, 2.0 * np.pi)
+    np.testing.assert_allclose(np.asarray(full.position),
+                               np.asarray(cam.position), atol=1e-5)
+
+    quarter = orbit_camera(cam, np.pi / 2)
+    p0, p1 = np.asarray(cam.position), np.asarray(quarter.position)
+    assert abs(np.linalg.norm(p0[:2]) - np.linalg.norm(p1[:2])) < 1e-5
+    assert abs(p0[2] - p1[2]) < 1e-6
+    f, r, u = (np.asarray(v) for v in camera_basis(quarter))
+    for a, b in [(f, r), (f, u), (r, u)]:
+        assert abs(float(a @ b)) < 1e-6
+
+
 def test_render_sharded_nondividing_ray_chunk(lego_params, golden):
     """Regression: a ray_chunk that does not divide the padded per-device
     shard (1025 rays / 8 devices, ray_chunk=192 -> shard 256) used to
