@@ -27,6 +27,8 @@ def _run(script, *args):
     ("04_multichip_render.py", ("--cpu", "--size", "16")),
     ("05_occupancy_grid.py",
      ("--cpu", "--size", "16", "--resolution", "16")),
+    ("08_turntable.py",
+     ("--cpu", "--frames", "2", "--size", "16", "--outdir", "/tmp/ex08")),
 ])
 def test_example_runs(script, args, assets_dir):
     r = _run(script, *args)
