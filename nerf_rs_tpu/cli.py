@@ -188,6 +188,38 @@ def cmd_verify(args) -> int:
             ok &= err < args.tolerance
             print(f"{net} pixel {ex['pixel']}: max abs err {err:.2e} [{status}]")
     print(f"worst error {worst:.2e} (tolerance {args.tolerance})")
+
+    if args.image:
+        # Full-pipeline image regression: the same committed-golden check
+        # tests/test_render.py pins (64x64, 16+32 samples, key 0),
+        # exposed on the CLI so users can validate a deployment without
+        # running the test suite.
+        import jax
+
+        from nerf_rs_tpu.io.golden import camera_from_golden
+        from nerf_rs_tpu.io.image import load_ppm
+        from nerf_rs_tpu.render import render_image
+
+        ref_path = Path(args.image_golden) if args.image_golden else (
+            Path(__file__).resolve().parent.parent
+            / "tests" / "goldens" / "lego_64x64_16c32f_key0.ppm")
+        if not ref_path.exists():
+            print(f"image check SKIPPED: golden render not found ({ref_path})")
+            return 0 if ok else 1
+        cfg = _render_config(args).replace(n_coarse=16, n_fine=32,
+                                           ray_chunk=1024)
+        img = np.asarray(render_image(
+            params["coarse"], params["fine"], camera_from_golden(golden),
+            64, 64, jax.random.key(0), cfg))
+        mse = float(np.mean((img - load_ppm(ref_path)) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        # u8 quantization caps agreement near ~50 dB; bf16 costs more.
+        bar = 45.0 if cfg.dtype == "float32" else 38.0
+        img_ok = psnr > bar
+        ok &= img_ok
+        print(f"image vs committed golden: {psnr:.1f} dB "
+              f"[{'OK' if img_ok else 'FAIL'}] (bar {bar:.0f} dB, "
+              f"{cfg.impl}/{cfg.dtype})")
     return 0 if ok else 1
 
 
@@ -468,6 +500,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("verify", help="golden-sample verification")
     _add_common(p)
     p.add_argument("--tolerance", type=float, default=1e-2)
+    p.add_argument("--image", action="store_true",
+                   help="also run the full-pipeline image regression vs "
+                        "the committed golden render")
+    p.add_argument("--image-golden",
+                   help="path to a golden PPM (default: the committed "
+                        "tests/goldens artifact)")
     p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("train", help="train coarse+fine networks")

@@ -127,6 +127,12 @@ def test_cli_train_distill_and_resume(tmp_path, assets_dir):
     assert latest_checkpoint(ck).name == "step_00000004"
 
 
+def test_cli_verify_image(assets_dir, capsys):
+    assert main(["verify", "--impl", "xla", "--image"]) == 0
+    out = capsys.readouterr().out
+    assert "image vs committed golden" in out and "[OK]" in out
+
+
 def test_cli_train_accel_refresh(tmp_path, assets_dir, capsys):
     """Occupancy-culled training path end-to-end: the grid refresh runs
     (warmup honored), degenerate grids fall back to dense, and the loop
