@@ -1,7 +1,7 @@
 """Bitrot guard for the examples gallery: run the cheap examples as real
 subprocesses with tiny sizes (imports, flags, and API usage all exercised;
-heavyweight ones — 02 interpret-mode kernel, 03/07 training loops, 06
-multihost — are covered indirectly by the unit suite for the same APIs)."""
+heavyweight ones — 06 multihost (self-launches 2 OS processes), 07
+accel training — are covered by the unit suite for the same APIs)."""
 
 import os
 import subprocess
@@ -24,6 +24,9 @@ def _run(script, *args):
 
 @pytest.mark.parametrize("script,args", [
     ("01_render.py", ("--cpu", "--size", "16", "--out", "/tmp/ex01.png")),
+    ("02_fused_kernel.py", ("--cpu", "--n", "256")),
+    ("03_train_distillation.py",
+     ("--cpu", "--steps", "2", "--batch-rays", "64", "--ckpt", "/tmp/ex03")),
     ("04_multichip_render.py", ("--cpu", "--size", "16")),
     ("05_occupancy_grid.py",
      ("--cpu", "--size", "16", "--resolution", "16")),
