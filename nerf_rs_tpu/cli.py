@@ -441,13 +441,33 @@ def cmd_export(args) -> int:
 
 
 def cmd_info(args) -> int:
+    import threading
+
     import jax
 
     print(f"jax {jax.__version__}")
-    print(f"backend: {jax.default_backend()}")
-    print(f"devices ({jax.device_count()}): {jax.devices()}")
+    # Device init can hang indefinitely when a tunneled backend is down —
+    # probe it in a daemon thread (same treatment as bench.py) so `info`
+    # itself is usable to diagnose exactly that situation.
+    got = {}
+
+    def probe():
+        got["backend"] = jax.default_backend()
+        got["devices"] = f"({jax.device_count()}): {jax.devices()}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(args.device_timeout)
+    if "backend" in got:
+        print(f"backend: {got['backend']}")
+        print(f"devices {got['devices']}")
+    else:
+        print(f"backend: UNAVAILABLE (device init exceeded "
+              f"{args.device_timeout:.0f}s — tunnel outage?)")
+    from nerf_rs_tpu.io import native
     from nerf_rs_tpu.io.weights import find_lego_assets
 
+    print(f"native io: {'available' if native.available() else 'unavailable (numpy fallback)'}")
     print(f"lego assets: {find_lego_assets()}")
     return 0
 
@@ -556,6 +576,9 @@ def main(argv=None) -> int:
            + (["--accel", "--accel-res", str(a.accel_res)] if a.accel else [])))
 
     p = sub.add_parser("info", help="device/mesh info")
+    p.add_argument("--device-timeout", type=float, default=60.0,
+                   help="seconds to wait for device init before reporting "
+                        "the backend unavailable")
     p.set_defaults(fn=cmd_info)
 
     args = parser.parse_args(argv)
