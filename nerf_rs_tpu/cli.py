@@ -140,6 +140,10 @@ def cmd_benchmark(args) -> int:
     os.environ["NERF_BENCH_SIZE"] = str(args.size)
     os.environ["NERF_BENCH_IMPL"] = args.impl
     os.environ["NERF_BENCH_DTYPE"] = args.dtype
+    os.environ["NERF_BENCH_MODE"] = args.mode
+    os.environ["NERF_BENCH_ACCEL"] = "1" if args.accel else "0"
+    os.environ["NERF_BENCH_SAMPLING"] = args.sampling_impl
+    os.environ["NERF_BENCH_REPEATS"] = str(args.repeats)
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench  # repo-root bench.py
 
@@ -515,6 +519,12 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=800)
     p.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--mode", default="render", choices=["render", "train"],
+                   help="train = full fwd+bwd+opt steps")
+    p.add_argument("--accel", action="store_true",
+                   help="occupancy-grid fast mode (PSNR-guarded)")
+    p.add_argument("--sampling-impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--repeats", type=int, default=3)
     p.set_defaults(fn=cmd_benchmark)
 
     p = sub.add_parser("verify", help="golden-sample verification")
