@@ -257,7 +257,17 @@ def main() -> None:
                                         cfg))
         last = np.asarray(img)
         mse = float(np.mean((exact - last) ** 2))
-        result["accel_psnr_db"] = round(-10.0 * math.log10(max(mse, 1e-12)), 1)
+        psnr = round(-10.0 * math.log10(max(mse, 1e-12)), 1)
+        result["accel_psnr_db"] = psnr
+        if psnr < 40.0:
+            # Below the accel contract the fast number is invalid (e.g. a
+            # capacity overflow zeroed real samples): flag it so
+            # metric-keyed history cannot ingest it as a real speedup.
+            result["vs_baseline"] = 0.0
+            result["error"] = (
+                f"accel_psnr_db {psnr} < 40 dB contract — speedup invalid "
+                "(capacity overflow / mis-calibrated grid?)"
+            )
     print(json.dumps(result))
 
 

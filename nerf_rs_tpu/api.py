@@ -17,6 +17,10 @@ import numpy as np
 from nerf_rs_tpu.config import RenderConfig
 
 _lock = threading.Lock()
+# Serializes device dispatch across concurrent embedder/viewer requests —
+# the tunneled backend (and JAX dispatch generally) is safest with one
+# render in flight at a time (serve.py uses ThreadingHTTPServer).
+_render_lock = threading.Lock()
 _state: dict = {}
 
 
@@ -100,21 +104,35 @@ def render_image_rgba(width: int, height: int, seed: int = 0) -> np.ndarray:
     if width <= 0 or height <= 0:
         raise ValueError("width and height must be greater than zero")
     init_renderer()
-    cfg, grid = _state["cfg"], _state["grid"]
+    # Snapshot the whole renderer state in ONE critical section so a
+    # concurrent init_renderer (e.g. flipping accel mode) cannot pair a
+    # stale grid with a new cfg/size_cfgs. size_cfgs is keyed per (state
+    # generation implicit in the dict object identity): a re-init replaces
+    # the dict, so calibrations never leak across grids.
+    with _lock:
+        base_cfg = cfg = _state["cfg"]
+        grid = _state["grid"]
+        params = _state["params"]
+        camera = _state["camera"]
+        size_cfgs = _state["size_cfgs"]
     if grid is not None:
         with _lock:
-            cfg = _state["size_cfgs"].get((width, height))
-            if cfg is None:
-                from nerf_rs_tpu.accel import calibrate_capacities
+            cfg = size_cfgs.get((width, height))
+        if cfg is None:
+            from nerf_rs_tpu.accel import calibrate_capacities
 
+            with _render_lock:
                 cfg = calibrate_capacities(
-                    _state["params"]["coarse"], _state["params"]["fine"],
-                    grid, _state["camera"], height, width,
-                    jax.random.key(0), _state["cfg"],
+                    params["coarse"], params["fine"],
+                    grid, camera, height, width,
+                    jax.random.key(0), base_cfg,
                 )
-                _state["size_cfgs"][(width, height)] = cfg
-    img = render_image(
-        _state["params"]["coarse"], _state["params"]["fine"], _state["camera"],
-        height, width, jax.random.key(seed), cfg, grid=grid,
-    )
-    return pixels_to_rgba(np.asarray(img))
+            with _lock:
+                size_cfgs[(width, height)] = cfg
+    with _render_lock:
+        img = render_image(
+            params["coarse"], params["fine"], camera,
+            height, width, jax.random.key(seed), cfg, grid=grid,
+        )
+        out = np.asarray(img)
+    return pixels_to_rgba(out)

@@ -59,17 +59,18 @@ CANONICAL_SHAPES: Dict[str, Tuple[int, int]] = {
 
 ASSET_ENV_VAR = "NERF_RS_TPU_ASSETS"
 _DEFAULT_ASSET_DIRS = (
-    "/root/reference/lego_rust",
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "assets", "lego_rust"),
+    "/root/reference/lego_rust",
 )
 
 
 def find_lego_assets() -> Optional[Path]:
     """Locate the pretrained lego weight bundle (coarse/ + fine/ + golden JSON).
 
-    Search order: $NERF_RS_TPU_ASSETS, the mounted reference assets, then a
-    repo-local ``assets/lego_rust``. Returns None when unavailable so tests
-    can skip gracefully.
+    Search order: $NERF_RS_TPU_ASSETS, the vendored repo-local
+    ``assets/lego_rust`` (self-contained deploys — SHA256SUMS committed
+    alongside), then the mounted reference assets. Returns None when
+    unavailable so tests can skip gracefully.
     """
     candidates = []
     if os.environ.get(ASSET_ENV_VAR):

@@ -175,10 +175,24 @@ def render_rays(
         from nerf_rs_tpu.ops.sampling import _batched_uniform
 
         u = _batched_uniform(k_fine, batch_shape, cfg.n_fine, t_c.dtype)
-        t_f = jax.lax.stop_gradient(
-            fused_resample(t_c, sigma_c, u, far, t_threshold=cfg.t_threshold,
-                           pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
-        )
+        # Gradients are stopped on the kernel INPUTS (not just the output):
+        # pallas_call has no JVP rule, and tangents entering it would raise
+        # even when the output cotangent is discarded.
+        sg = jax.lax.stop_gradient
+        t_f = fused_resample(sg(t_c), sg(sigma_c), u, sg(far),
+                             t_threshold=cfg.t_threshold,
+                             pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
+        # Gradient parity with the XLA path (which stops only t_extra and
+        # lets d/dt_c flow through merge_samples' sort): the kernel has no
+        # VJP, so re-attach the coarse samples' gradients straight-through.
+        # Each t_c value passes through the merge unchanged; its sorted slot
+        # is found by per-row searchsorted, and adding (t_c - sg(t_c)) there
+        # is a value-preserving scatter that routes exactly the gradients
+        # jnp.sort would. Ties collapse to one slot — a subgradient-
+        # equivalent assignment among equal values.
+        row = jnp.arange(t_f.shape[0])[:, None]
+        slot = jax.vmap(jnp.searchsorted)(t_f, t_c)
+        t_f = t_f.at[row, slot].add(t_c - jax.lax.stop_gradient(t_c))
     else:
         w_c = compute_weights(sigma_c, t_c, far, t_threshold=cfg.t_threshold)
         t_extra = importance_samples(

@@ -74,13 +74,26 @@ def device_trace(log_dir: Optional[str]):
         return
     import jax
 
+    # Only guard trace *startup*: if the profiler cannot start (tunneled /
+    # remote backends), fall back to a bare yield. Exceptions raised by the
+    # traced body must propagate — never yield from an except branch, or
+    # contextlib will throw the body's exception into the generator and a
+    # second yield turns it into a masking RuntimeError.
+    trace_cm = jax.profiler.trace(log_dir)
     try:
-        with jax.profiler.trace(log_dir):
-            yield
-        print(f"profiler trace written to {log_dir}")
-    except Exception as e:  # tunneled/remote backends may not support tracing
+        trace_cm.__enter__()
+    except Exception as e:
         print(f"profiler trace unavailable ({e}); continuing without")
         yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            trace_cm.__exit__(None, None, None)
+            print(f"profiler trace written to {log_dir}")
+        except Exception as e:
+            print(f"profiler trace finalize failed ({e}); continuing")
 
 
 class Progress:

@@ -102,6 +102,39 @@ def test_render_with_fused_sampling_close_to_xla(lego_params, golden):
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-3)
 
 
+def test_render_fused_sampling_gradient_parity(lego_params, golden):
+    """Differentiating through the pallas sampling path must route the same
+    gradients as the XLA path: the XLA path stops only t_extra and lets
+    d/dt_c flow through the sorted merge; the fused kernel has no VJP, so
+    render.py re-attaches the coarse samples with a straight-through
+    scatter. Differentiate w.r.t. `far` (which flows into t_c via
+    stratified_samples and into the deltas) and compare the two paths."""
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.ops.rays import camera_rays
+    from nerf_rs_tpu.render import render_rays
+
+    cam = camera_from_golden(golden)
+    origins, dirs = camera_rays(cam, 4, 4)
+    origins = origins.reshape(-1, 3)
+    dirs = dirs.reshape(-1, 3)
+    key = jax.random.key(3)
+
+    def loss(far, cfg):
+        rgb = render_rays(lego_params["coarse"], lego_params["fine"],
+                          origins, dirs, cam.near, far, key, cfg)
+        return jnp.sum(rgb ** 2)
+
+    base = RenderConfig(n_coarse=64, n_fine=128)
+    g_x = jax.grad(loss)(jnp.float32(cam.far), base)
+    g_p = jax.grad(loss)(jnp.float32(cam.far),
+                         base.replace(sampling_impl="pallas"))
+    # Values along the two paths differ at scan-order noise level, so the
+    # grads agree to allclose, not bitwise.
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=2e-2, atol=1e-4)
+    assert np.isfinite(np.asarray(g_p)).all() and abs(float(g_p)) > 0
+
+
 def test_render_fused_sampling_composes_with_accel(lego_params, golden):
     """The two fast paths together (occupancy culling feeding the fused
     resampler's sigma input, termination culling after it): image stays
