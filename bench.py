@@ -18,6 +18,15 @@ NERF_BENCH_MODE (render|train: train measures full fwd+bwd+psum optimizer
 steps in rays/s with the same 64+128 sample config),
 NERF_BENCH_DEADLINE (seconds, default 2400; 0 disables — emit an error
 record and exit if the backend wedges mid-run after a healthy init).
+Frontier knobs (rays/s-vs-PSNR curve, docs/PERF.md):
+NERF_BENCH_SAMPLES ("Nc,Nf", default "64,128" — "32,64" is the reference's
+own reduced wasm preset, src/lib.rs:603-612), NERF_BENCH_ACCEL_RES
+(occupancy grid resolution, default 128), NERF_BENCH_ACCEL_T
+(termination-culling T threshold override), NERF_BENCH_ACCEL_SLACK
+(termination slack in coarse bins). Accel runs always report
+accel_psnr_db vs the exact path at the SAME sample counts; reduced-sample
+runs additionally report full_psnr_db vs the 64+128 exact render — the
+quality axis of the frontier.
 """
 
 from __future__ import annotations
@@ -90,6 +99,16 @@ def _bench_train(cfg, repeats: int) -> None:
     }))
 
 
+def _samples() -> tuple:
+    s = os.environ.get("NERF_BENCH_SAMPLES", "64,128")
+    nc, nf = (int(v) for v in s.split(","))
+    return nc, nf
+
+
+def _accel_res() -> int:
+    return int(os.environ.get("NERF_BENCH_ACCEL_RES", "128"))
+
+
 def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
     """One metric string shared by the success, init-error, and deadline
     records, so metric-keyed joins of bench history see the same benchmark
@@ -106,11 +125,16 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
         accel = os.environ.get("NERF_BENCH_ACCEL", "0") not in ("0", "", "false")
     if sampling is None:
         sampling = os.environ.get("NERF_BENCH_SAMPLING", "xla")
-    suffix = (f"{impl}/{dtype}" + ("+accel" if accel else "")
+    nc, nf = _samples()
+    accel_tag = ""
+    if accel:
+        res = _accel_res()
+        accel_tag = "+accel" if res == 128 else f"+accel{res}"
+    suffix = (f"{impl}/{dtype}" + accel_tag
               + ("+psampling" if sampling == "pallas" else ""))
     if mode == "train":
-        return f"train rays/s (fwd+bwd+opt), 64+128 samples, {suffix}"
-    return f"fwd render rays/s, lego {size}x{size} 64+128 samples, {suffix}"
+        return f"train rays/s (fwd+bwd+opt), {nc}+{nf} samples, {suffix}"
+    return f"fwd render rays/s, lego {size}x{size} {nc}+{nf} samples, {suffix}"
 
 
 def _backend_alive(timeout_s: float):
@@ -197,8 +221,13 @@ def main() -> None:
     except Exception:
         impl = "xla"
 
-    cfg = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=16384, impl=impl,
+    nc, nf = _samples()
+    cfg = RenderConfig(n_coarse=nc, n_fine=nf, ray_chunk=16384, impl=impl,
                        dtype=dtype, sampling_impl=sampling)
+    if "NERF_BENCH_ACCEL_T" in os.environ:
+        cfg = cfg.replace(accel_t_threshold=float(os.environ["NERF_BENCH_ACCEL_T"]))
+    if "NERF_BENCH_ACCEL_SLACK" in os.environ:
+        cfg = cfg.replace(accel_t_slack_bins=float(os.environ["NERF_BENCH_ACCEL_SLACK"]))
     if os.environ.get("NERF_BENCH_MODE", "render") == "train":
         return _bench_train(cfg, repeats)
     # bfloat16 keeps image-level parity (~40 dB PSNR vs the f32 oracle, same
@@ -220,7 +249,7 @@ def main() -> None:
     if accel:
         from nerf_rs_tpu.accel import build_scene_grid, calibrate_capacities
 
-        grid = build_scene_grid(params_c, params_f, resolution=128)
+        grid = build_scene_grid(params_c, params_f, resolution=_accel_res())
         # Measured capacities: one instrumented render, then the timed
         # renders run with the post-culling live set + 15% margin.
         cfg = calibrate_capacities(params_c, params_f, grid, camera,
@@ -268,6 +297,17 @@ def main() -> None:
                 f"accel_psnr_db {psnr} < 40 dB contract — speedup invalid "
                 "(capacity overflow / mis-calibrated grid?)"
             )
+    if (nc, nf) != (64, 128):
+        # Quality axis of the rays/s-vs-PSNR frontier: reduced-sample runs
+        # (e.g. the reference's own 32+64 wasm preset) report PSNR vs the
+        # full-quality 64+128 exact render. Informational, not a guard —
+        # the sample-count trade-off is the point of these configs.
+        full_cfg = cfg.replace(n_coarse=64, n_fine=128)
+        full = np.asarray(render_image(params_c, params_f, camera, size, size,
+                                       jax.random.fold_in(key, repeats - 1),
+                                       full_cfg))
+        mse = float(np.mean((full - np.asarray(img)) ** 2))
+        result["full_psnr_db"] = round(-10.0 * math.log10(max(mse, 1e-12)), 1)
     print(json.dumps(result))
 
 

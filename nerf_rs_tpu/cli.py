@@ -224,6 +224,35 @@ def cmd_verify(args) -> int:
         print(f"image vs committed golden: {psnr:.1f} dB "
               f"[{'OK' if img_ok else 'FAIL'}] (bar {bar:.0f} dB, "
               f"{cfg.impl}/{cfg.dtype})")
+
+    if getattr(args, "image_full", False):
+        # Full-quality gate: the committed 256x256 64+128 f32 key-0 render
+        # (the analogue of the reference's committed output.ppm). Seconds
+        # on TPU; ~12 min on CPU — hence opt-in separately from --image.
+        import jax
+
+        from nerf_rs_tpu.io.golden import camera_from_golden
+        from nerf_rs_tpu.io.image import load_ppm
+        from nerf_rs_tpu.render import render_image
+
+        ref_path = (Path(__file__).resolve().parent.parent
+                    / "tests" / "goldens" / "lego_256x256_64c128f_key0.ppm")
+        if not ref_path.exists():
+            print(f"full-image check SKIPPED: golden not found ({ref_path})")
+            return 0 if ok else 1
+        cfg = _render_config(args).replace(n_coarse=64, n_fine=128,
+                                           ray_chunk=8192)
+        img = np.asarray(render_image(
+            params["coarse"], params["fine"], camera_from_golden(golden),
+            256, 256, jax.random.key(0), cfg))
+        mse = float(np.mean((img - load_ppm(ref_path)) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        bar = 45.0 if cfg.dtype == "float32" else 38.0
+        img_ok = psnr > bar
+        ok &= img_ok
+        print(f"full image (256x256, 64+128) vs committed golden: "
+              f"{psnr:.1f} dB [{'OK' if img_ok else 'FAIL'}] "
+              f"(bar {bar:.0f} dB, {cfg.impl}/{cfg.dtype})")
     return 0 if ok else 1
 
 
@@ -536,6 +565,10 @@ def main(argv=None) -> int:
     p.add_argument("--image-golden",
                    help="path to a golden PPM (default: the committed "
                         "tests/goldens artifact)")
+    p.add_argument("--image-full", action="store_true",
+                   help="also gate a FULL-QUALITY render (256x256, 64+128 "
+                        "samples, key 0) against the committed golden — "
+                        "seconds on TPU, ~12 min on CPU")
     p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("train", help="train coarse+fine networks")

@@ -88,15 +88,52 @@ def _train_mode(pid: int) -> None:
         )
 
 
+def _bench_mode(pid: int) -> None:
+    """Wall-clock sanity: time sharded train steps (the path with the
+    cross-process grad psum) after a compile+sync warmup; pid 0 writes the
+    per-step seconds. Run with 1 and 2 processes over the same 4-device
+    global mesh to expose pure cross-process (Gloo) overhead."""
+    import time
+
+    from nerf_rs_tpu.config import TrainConfig
+    from nerf_rs_tpu.parallel.train_sharded import (
+        create_sharded_train_state, sharded_train_step,
+    )
+
+    cfg = TrainConfig(
+        batch_rays=256,
+        render=RenderConfig(n_coarse=8, n_fine=8, ray_chunk=256),
+    )
+    mesh, state = create_sharded_train_state(jax.random.key(0), cfg)
+    batch = train_batch(cfg.batch_rays)
+    state, metrics = sharded_train_step(mesh, state, batch, jax.random.key(1), cfg)
+    np.asarray(metrics["loss"].addressable_data(0))  # compile + sync
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, metrics = sharded_train_step(
+            mesh, state, batch, jax.random.fold_in(jax.random.key(1), i), cfg
+        )
+        np.asarray(metrics["loss"].addressable_data(0))
+        times.append(time.perf_counter() - t0)
+    if pid == 0:
+        np.save(os.environ["OUT_NPY"], np.asarray(times))
+
+
 def main() -> int:
-    assert multihost.initialize() is True, "expected a multi-process runtime"
+    expect_multi = int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
+    assert multihost.initialize() is expect_multi, \
+        "distributed runtime did not come up as requested"
     pid = jax.process_index()
     nproc = jax.process_count()
     print(f"[worker {pid}] procs={nproc} local_devices={jax.local_device_count()}"
           f" global_devices={jax.device_count()}", flush=True)
 
-    if os.environ.get("WORKER_MODE", "render") == "train":
+    mode = os.environ.get("WORKER_MODE", "render")
+    if mode == "train":
         _train_mode(pid)
+    elif mode == "bench":
+        _bench_mode(pid)
     else:
         _render_mode(pid)
     return 0

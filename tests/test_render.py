@@ -142,6 +142,36 @@ def test_render_image_vs_committed_golden(lego_params, golden):
     assert score > 45.0, f"PSNR vs committed golden too low: {score:.2f} dB"
 
 
+def test_render_strip_vs_committed_fullres_golden(lego_params, golden):
+    """Pin the FULL-QUALITY committed golden (256x256, 64+128 samples, f32,
+    key 0 — the analogue of the reference's committed output.ppm). A whole
+    256x256 render at these sample counts costs ~12 min on CPU, so this
+    renders only a 16-row center strip: per-ray RNG streams are keyed by
+    global ray index, making the strip bitwise-equal to the same rows of
+    the full render (chunk invariance), so the comparison is as strict as
+    re-rendering everything."""
+    import os
+
+    from nerf_rs_tpu.render import _render_flat
+
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "lego_256x256_64c128f_key0.ppm")
+    ref = load_ppm(path)
+    cam = camera_from_golden(golden)
+    _, dirs = camera_rays(cam, 256, 256)
+    r0, r1 = 120, 136  # center rows over the bulldozer body
+    strip_dirs = dirs[r0:r1].reshape(-1, 3)
+    cfg = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=4096)
+    strip = _render_flat(
+        lego_params["coarse"], lego_params["fine"], jnp.asarray(cam.position),
+        strip_dirs, jnp.asarray(cam.near), jnp.asarray(cam.far),
+        jax.random.key(0), strip_dirs.shape[0], cfg,
+        ray_id_base=jnp.int32(r0 * 256),
+    ).reshape(r1 - r0, 256, 3)
+    score = psnr(strip, ref[r0:r1])
+    assert score > 45.0, f"PSNR vs full-res committed golden: {score:.2f} dB"
+
+
 def test_render_deterministic(lego_params, golden):
     """Counter-based keys => bitwise reproducible renders (unlike the
     reference's thread_rng)."""

@@ -48,4 +48,14 @@ run accel_psampling     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_SAMPLI
 # Train mode
 run train               NERF_BENCH_MODE=train
 run train_accel         NERF_BENCH_MODE=train NERF_BENCH_ACCEL=1
+# Frontier: rays/s-vs-PSNR curve (docs/PERF.md decision table).
+# Denser grid (finer empty-space test -> fewer false-occupied cells):
+run accel256_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_RES=256
+# Tighter termination culling (T threshold up, slack down; accel_psnr_db
+# guards the contract):
+run accel_tight_800     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_T=1e-4 NERF_BENCH_ACCEL_SLACK=1.0
+# The reference's own reduced-sample wasm preset (src/lib.rs:603-612),
+# exact and accelerated (full_psnr_db records the quality trade):
+run s32x64_800          NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64
+run s32x64_accel_800    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1
 echo "done -> $LOG" >&2

@@ -11,6 +11,8 @@ while true; do
     echo "up $(date -Is)" > "$STAMP"
     bash tools/tpu_ab.sh "$LOG"
     echo "sweep-done $(date -Is)" > "$STAMP"
+    bash tools/tpu_train_distill.sh
+    echo "train-done $(date -Is) rc=$?" > "$STAMP"
     exit 0
   fi
   echo "down $(date -Is)" > "$STAMP"
