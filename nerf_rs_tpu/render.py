@@ -164,10 +164,12 @@ def render_rays(
         )
 
     # --- hierarchical resampling (lib.rs:406-421) ---
+    if cfg.sampling_impl == "pallas":
+        from nerf_rs_tpu.ops.kernels import resample as _resample_mod
     use_fused_resample = (
         cfg.sampling_impl == "pallas"
         and not return_aux                       # fwd-only kernel
-        and (cfg.n_coarse, cfg.n_fine) == (64, 128)
+        and _resample_mod.supported(cfg.n_coarse, cfg.n_fine)
         and dirs.ndim == 2
     )
     if use_fused_resample:

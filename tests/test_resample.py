@@ -4,6 +4,7 @@ CPU; Mosaic-compiled on TPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_rs_tpu.config import RenderConfig
 from nerf_rs_tpu.ops.kernels.resample import fused_resample
@@ -36,26 +37,34 @@ def _xla_chain(t_c, sigma_c, u, far, cfg):
     return merge_samples(t_c, t_extra)
 
 
-def _inputs(n, seed=0, spiky=False):
+def _inputs(n, seed=0, spiky=False, nc=64, nf=128):
     rng = np.random.default_rng(seed)
-    u01 = rng.uniform(size=(n, 64)).astype(np.float32)
-    t_c = 2.0 + (np.arange(64, dtype=np.float32) + u01) * (4.0 / 64)
-    sigma = rng.uniform(0, 30.0 if spiky else 2.0, size=(n, 64)).astype(np.float32)
+    u01 = rng.uniform(size=(n, nc)).astype(np.float32)
+    t_c = 2.0 + (np.arange(nc, dtype=np.float32) + u01) * (4.0 / nc)
+    sigma = rng.uniform(0, 30.0 if spiky else 2.0, size=(n, nc)).astype(np.float32)
     if spiky:
-        sigma[:, 40:] = 100.0          # trigger the T < 1e-4 early-out
-    u = rng.uniform(size=(n, 128)).astype(np.float32)
+        sigma[:, (nc * 5) // 8:] = 100.0  # trigger the T < 1e-4 early-out
+    u = rng.uniform(size=(n, nf)).astype(np.float32)
     return jnp.asarray(t_c), jnp.asarray(sigma), jnp.asarray(u)
 
 
-def test_fused_resample_matches_xla():
+@pytest.mark.parametrize("nc,nf", [(64, 128), (32, 64)])
+def test_fused_resample_matches_xla(nc, nf):
     cfg = RenderConfig()
-    t_c, sigma, u = _inputs(96, seed=0)
+    t_c, sigma, u = _inputs(96, seed=0, nc=nc, nf=nf)
     got = fused_resample(t_c, sigma, u, 6.0, t_threshold=cfg.t_threshold,
                          pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
     want = _xla_chain(t_c, sigma, u, jnp.float32(6.0), cfg)
-    assert got.shape == (96, 192)
+    assert got.shape == (96, nc + nf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-5)
+
+
+def test_fused_resample_rejects_unsupported_counts():
+    for nc, nf in [(48, 96), (16, 32), (64, 100)]:
+        with pytest.raises(NotImplementedError):
+            fused_resample(jnp.zeros((4, nc)), jnp.zeros((4, nc)),
+                           jnp.zeros((4, nf)), 6.0)
 
 
 def test_fused_resample_spiky_early_out():
@@ -86,15 +95,17 @@ def test_fused_resample_sorted_and_in_range():
     assert (out >= 2.0 - 1e-5).all() and (out <= 6.0 + 1e-5).all()
 
 
-def test_render_with_fused_sampling_close_to_xla(lego_params, golden):
+@pytest.mark.parametrize("nc,nf", [(64, 128), (32, 64)])
+def test_render_with_fused_sampling_close_to_xla(lego_params, golden, nc, nf):
     """End-to-end: the pallas sampling path renders the same image as the
-    XLA path (same uniforms, different scan orderings -> allclose)."""
+    XLA path (same uniforms, different scan orderings -> allclose), at the
+    native and the reduced (wasm, src/lib.rs:603-612) sample presets."""
     from nerf_rs_tpu.io.golden import camera_from_golden
     from nerf_rs_tpu.render import render_image
 
     cam = camera_from_golden(golden)
     key = jax.random.key(7)
-    base = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=256)
+    base = RenderConfig(n_coarse=nc, n_fine=nf, ray_chunk=256)
     img_x = render_image(lego_params["coarse"], lego_params["fine"], cam,
                          8, 8, key, base)
     img_p = render_image(lego_params["coarse"], lego_params["fine"], cam,
