@@ -37,8 +37,8 @@ def init_renderer(assets_dir: Optional[str] = None,
     ``accel=None`` (the default) keeps the current mode on an
     already-initialized renderer; ``accel=False`` explicitly disables it.
     """
-    from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
-    from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.io.weights import find_lego_assets, load_scene_assets
 
     with _lock:
         if (_state.get("ready") and assets_dir is None and cfg is None
@@ -66,13 +66,11 @@ def init_renderer(assets_dir: Optional[str] = None,
                       and _state.get("accel_res") == accel_res
                       and _state.get("assets") == assets)
         _state["assets"] = assets
-        _state["params"] = {
-            "coarse": load_nerf_params(assets / "coarse"),
-            "fine": load_nerf_params(assets / "fine"),
-        }
-        _state["camera"] = camera_from_golden(
-            load_golden(assets / "tf_reference_samples.json")
-        )
+        # Directory bundle or single-file .npz (cli pack) — the latter is
+        # the reference's wasm weight-embedding analogue (weights.rs:1-100).
+        params, golden = load_scene_assets(assets)
+        _state["params"] = params
+        _state["camera"] = camera_from_golden(golden)
         # Reference wasm used reduced sample counts (32, 64) for interactive
         # latency (lib.rs:604-607); on TPU the full counts stay interactive.
         # Re-inits that only flip the accel mode keep the configured cfg.

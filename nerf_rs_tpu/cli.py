@@ -23,20 +23,16 @@ from pathlib import Path
 
 def _load_scene(args):
     from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
-    from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
+    from nerf_rs_tpu.io.weights import find_lego_assets, load_scene_assets
 
     assets = Path(args.weights) if getattr(args, "weights", None) else find_lego_assets()
     if assets is None:
         sys.exit("error: no weight assets found (set --weights or $NERF_RS_TPU_ASSETS)")
-    params = {
-        "coarse": load_nerf_params(assets / "coarse"),
-        "fine": load_nerf_params(assets / "fine"),
-    }
-    camera_json = Path(args.camera) if getattr(args, "camera", None) else (
-        assets / "tf_reference_samples.json"
-    )
-    camera = camera_from_golden(load_golden(camera_json))
-    return params, camera
+    params, golden = load_scene_assets(assets)
+    if getattr(args, "camera", None):
+        golden = load_golden(Path(args.camera))
+    camera = camera_from_golden(golden)
+    return params, camera, golden
 
 
 def _render_config(args):
@@ -61,7 +57,7 @@ def cmd_render(args) -> int:
 
     from nerf_rs_tpu.utils.profiling import device_trace
 
-    params, camera = _load_scene(args)
+    params, camera, _ = _load_scene(args)
     cfg = _render_config(args)
     print(f"Rendering {args.width}x{args.height} with {cfg.n_coarse} coarse and "
           f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
@@ -157,16 +153,11 @@ def cmd_verify(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from nerf_rs_tpu.io.golden import golden_examples, load_golden
-    from nerf_rs_tpu.io.weights import find_lego_assets
+    from nerf_rs_tpu.io.golden import golden_examples
     from nerf_rs_tpu.models.mlp import nerf_mlp
 
-    params, _ = _load_scene(args)
-    if args.camera:
-        golden = load_golden(args.camera)
-    else:
-        assets = Path(args.weights) if args.weights else find_lego_assets()
-        golden = load_golden(assets / "tf_reference_samples.json")
+    # _load_scene's golden honors --camera and .npz bundles alike.
+    params, _, golden = _load_scene(args)
 
     if args.impl == "pallas":
         from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp
@@ -301,7 +292,7 @@ def cmd_train(args) -> int:
     else:
         from nerf_rs_tpu.data import DistillationDataset
 
-        teacher, _ = _load_scene(args)
+        teacher, _, _ = _load_scene(args)
         dataset = DistillationDataset(teacher, cfg=cfg.render, seed=cfg.seed)
         print("no --data given: distilling from the pretrained lego networks")
 
@@ -436,7 +427,7 @@ def cmd_evaluate(args) -> int:
 
     if args.checkpoint is None and args.checkpoint_dir is None:
         sys.exit("error: pass --checkpoint or --checkpoint-dir")
-    teacher, camera = _load_scene(args)
+    teacher, camera, _ = _load_scene(args)
     cfg = _render_config(args)
     ckpt = args.checkpoint or latest_checkpoint(args.checkpoint_dir)
     if ckpt is None:
@@ -470,6 +461,27 @@ def cmd_export(args) -> int:
     export_reference_format(args.output, state.params)
     print(f"exported step {int(state.step)} params to {args.output} "
           "(reference shapes.txt + .bin format)")
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Pack the scene (both networks + golden JSON) into one .npz bundle —
+    the reference's wasm weight embedding (src/weights.rs:1-100) as a
+    single self-contained artifact; loadable via --weights / assets_dir /
+    $NERF_RS_TPU_ASSETS."""
+    import json
+
+    from nerf_rs_tpu.io.weights import find_lego_assets, load_scene_assets, save_bundle
+
+    assets = Path(args.weights) if args.weights else find_lego_assets()
+    if assets is None:
+        sys.exit("error: no weight assets found (set --weights or $NERF_RS_TPU_ASSETS)")
+    params, golden = load_scene_assets(assets, device_put=False)
+    save_bundle(args.output, params["coarse"], params["fine"],
+                json.dumps(golden))
+    size_mb = Path(args.output).stat().st_size / 1e6
+    print(f"packed {assets} -> {args.output} ({size_mb:.1f} MB, "
+          "coarse + fine + camera/golden JSON)")
     return 0
 
 
@@ -604,6 +616,11 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("pack", help="scene -> single self-contained .npz bundle")
+    p.add_argument("--weights", help="weight bundle dir (default: auto-discover)")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("serve", help="HTTP browser viewer (reference web UI)")
     p.add_argument("--port", type=int, default=8400)

@@ -78,6 +78,8 @@ def find_lego_assets() -> Optional[Path]:
     candidates.extend(_DEFAULT_ASSET_DIRS)
     for cand in candidates:
         p = Path(cand)
+        if p.suffix == ".npz" and p.is_file():
+            return p  # single-file bundle (save_bundle)
         if (p / "coarse" / "shapes.txt").exists() and (p / "fine" / "shapes.txt").exists():
             return p
     return None
@@ -173,6 +175,78 @@ def save_nerf_params(directory: os.PathLike, params) -> None:
         lines.append(f"{layer}_kernel {kernel.shape[0]} {kernel.shape[1]}")
         lines.append(f"{layer}_bias {bias.shape[0]}")
     (directory / "shapes.txt").write_text("\n".join(lines) + "\n")
+
+
+def save_bundle(path: os.PathLike, coarse_params, fine_params,
+                golden_json_text: str) -> None:
+    """Pack both networks + the camera/golden JSON into ONE ``.npz`` file.
+
+    The TPU-native analogue of the reference's weights-in-the-binary wasm
+    embedding (/root/reference/src/weights.rs:1-100, include_bytes! of all
+    48 tensors + shapes.txt + the JSON): a single self-contained artifact
+    that initializes the renderer with no directory tree and no mounted
+    reference. Load with :func:`load_bundle`, or point
+    ``$NERF_RS_TPU_ASSETS`` / ``init_renderer(assets_dir=...)`` at it.
+    """
+    arrays: Dict[str, np.ndarray] = {}
+    for net, params in (("coarse", coarse_params), ("fine", fine_params)):
+        for layer in LAYER_NAMES:
+            arrays[f"{net}.{layer}.kernel"] = np.asarray(
+                params[layer]["kernel"], dtype="<f4")
+            arrays[f"{net}.{layer}.bias"] = np.asarray(
+                params[layer]["bias"], dtype="<f4")
+    arrays["golden_json"] = np.frombuffer(
+        golden_json_text.encode("utf-8"), dtype=np.uint8)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_bundle(path: os.PathLike, dtype=np.float32, device_put: bool = True):
+    """Load a :func:`save_bundle` artifact -> ``(params, golden_dict)`` with
+    ``params = {"coarse": pytree, "fine": pytree}`` (same pytree contract and
+    shape validation as :func:`load_nerf_params`)."""
+    import json
+
+    with np.load(Path(path)) as z:
+        golden = json.loads(bytes(z["golden_json"]).decode("utf-8"))
+        params: Dict[str, Dict[str, Dict[str, np.ndarray]]] = {}
+        for net in ("coarse", "fine"):
+            tree: Dict[str, Dict[str, np.ndarray]] = {}
+            for layer in LAYER_NAMES:
+                tree[layer] = {
+                    "kernel": z[f"{net}.{layer}.kernel"].astype(dtype),
+                    "bias": z[f"{net}.{layer}.bias"].astype(dtype),
+                }
+            validate_param_shapes(tree)
+            params[net] = tree
+    if device_put:
+        import jax
+
+        params = jax.device_put(params)
+    return params, golden
+
+
+def load_scene_assets(assets: os.PathLike, dtype=np.float32,
+                      device_put: bool = True):
+    """Uniform scene loader: ``assets`` is either a reference-format weight
+    directory (coarse/ + fine/ + tf_reference_samples.json) or a single
+    ``.npz`` bundle from :func:`save_bundle`. Returns
+    ``({"coarse": pytree, "fine": pytree}, golden_dict)``."""
+    import json
+
+    assets = Path(assets)
+    if assets.is_file():
+        return load_bundle(assets, dtype=dtype, device_put=device_put)
+    params = {
+        "coarse": load_nerf_params(assets / "coarse", dtype=dtype,
+                                   device_put=device_put),
+        "fine": load_nerf_params(assets / "fine", dtype=dtype,
+                                 device_put=device_put),
+    }
+    with open(assets / "tf_reference_samples.json") as f:
+        golden = json.load(f)
+    return params, golden
 
 
 def validate_param_shapes(params) -> None:

@@ -655,8 +655,14 @@ def fused_nerf_mlp(
     forward tile into two independent chains so Mosaic can overlap one
     half's VPU epilogues with the other's MXU matmuls; read per call so
     in-process A/B toggles take effect (it is part of the op cache key).
+    $NERF_FUSED_TILE overrides the batch-tile width (multiple of 128):
+    bigger tiles amortize per-step overhead against VMEM pressure — an
+    A/B knob for the same sweep.
     """
     interleave = os.environ.get("NERF_FUSED_INTERLEAVE", "0") == "1"
+    tile_env = os.environ.get("NERF_FUSED_TILE")
+    if tile_env:
+        tile = int(tile_env)
     op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only),
                   interleave)
     return op(params, points, viewdirs)

@@ -80,3 +80,23 @@ def test_accel_mode_serves_close_images(assets_dir):
     # Explicit disable still works.
     api.init_renderer(accel=False)
     assert api._state["grid"] is None
+
+
+def test_init_from_npz_bundle(assets_dir, tmp_path):
+    """A packed .npz bundle (cli pack) initializes the renderer identically
+    to the directory assets — the self-contained-artifact property of the
+    reference's wasm build (weights.rs:1-100)."""
+    import json
+
+    from nerf_rs_tpu.io.weights import load_scene_assets, save_bundle
+
+    params, golden = load_scene_assets(assets_dir, device_put=False)
+    bundle = tmp_path / "scene.npz"
+    save_bundle(bundle, params["coarse"], params["fine"], json.dumps(golden))
+
+    api.init_renderer(assets_dir=bundle, cfg=SMALL)
+    from_bundle = api.render_image_rgba(8, 8, seed=0)
+    api._state.clear()
+    api.init_renderer(assets_dir=assets_dir, cfg=SMALL)
+    from_dir = api.render_image_rgba(8, 8, seed=0)
+    np.testing.assert_array_equal(from_bundle, from_dir)

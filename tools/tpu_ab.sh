@@ -58,4 +58,8 @@ run accel_tight_800     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_
 # exact and accelerated (full_psnr_db records the quality trade):
 run s32x64_800          NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64
 run s32x64_accel_800    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1
+run s32x64_psampling    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_SAMPLING=pallas
+# Kernel batch-tile width (default 1024; VMEM pressure vs per-step overhead):
+run tile512_800         NERF_BENCH_SIZE=800 NERF_FUSED_TILE=512
+run tile2048_800        NERF_BENCH_SIZE=800 NERF_FUSED_TILE=2048
 echo "done -> $LOG" >&2
