@@ -132,6 +132,10 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
         accel_tag = "+accel" if res == 128 else f"+accel{res}"
     suffix = (f"{impl}/{dtype}" + accel_tag
               + ("+psampling" if sampling == "pallas" else ""))
+    if os.environ.get("NERF_BENCH_ARCH"):
+        suffix += f"+arch{os.environ['NERF_BENCH_ARCH']}"
+    if os.environ.get("NERF_BENCH_WEIGHTS"):
+        suffix += "+customweights"
     if mode == "train":
         return f"train rays/s (fwd+bwd+opt), {nc}+{nf} samples, {suffix}"
     return f"fwd render rays/s, lego {size}x{size} {nc}+{nf} samples, {suffix}"
@@ -191,6 +195,13 @@ def _arm_deadline() -> None:
 
 
 def main() -> None:
+    if os.environ.get("NERF_BENCH_PLATFORM"):
+        # Smoke-test escape hatch (e.g. =cpu): the axon plugin overrides
+        # $JAX_PLATFORMS, so the backend must be forced via jax.config
+        # BEFORE the first device init (which _backend_alive triggers).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["NERF_BENCH_PLATFORM"])
     init_timeout = float(os.environ.get("NERF_BENCH_INIT_TIMEOUT", "300"))
     init_error = _backend_alive(init_timeout)
     if init_error is not None:
@@ -238,9 +249,50 @@ def main() -> None:
         print(json.dumps({"metric": "rays/s fwd lego", "value": 0.0, "unit": "rays/s",
                           "vs_baseline": 0.0, "error": "assets missing"}))
         return
-    params_c = load_nerf_params(assets / "coarse")
-    params_f = load_nerf_params(assets / "fine")
     camera = camera_from_golden(load_golden(assets / "tf_reference_samples.json"))
+    arch_env = os.environ.get("NERF_BENCH_ARCH")
+    weights_env = os.environ.get("NERF_BENCH_WEIGHTS")
+    student = bool(arch_env)
+    if arch_env:
+        # Student-architecture throughput (ArchConfig family): random-init
+        # params — rays/s is weight-value-independent, so this measures the
+        # speed side of a distilled student before one is trained. Forces
+        # the XLA MLP (the fused kernel is canonical-only) and skips the
+        # accel/PSNR machinery (meaningless on random weights).
+        from nerf_rs_tpu.config import ArchConfig
+        from nerf_rs_tpu.models.mlp import init_nerf_params
+
+        dims = [int(v) for v in arch_env.split(",")]
+        dims += [256, 128, 8, 4][len(dims):]
+        arch = ArchConfig(width=dims[0], v_width=dims[1],
+                          depth=dims[2], skip_at=dims[3])
+        if not arch.is_canonical:
+            impl = "xla"
+            cfg = cfg.replace(impl="xla")
+        params_c = jax.device_put(init_nerf_params(jax.random.key(1), arch=arch))
+        params_f = jax.device_put(init_nerf_params(jax.random.key(2), arch=arch))
+        accel = False
+    elif weights_env:
+        # Trained weights from anywhere (e.g. a distilled-student export):
+        # a .npz bundle or a reference-format directory with coarse/ + fine/.
+        from nerf_rs_tpu.io.weights import load_scene_assets
+
+        from pathlib import Path as _P
+        p = _P(weights_env)
+        if p.is_file():
+            loaded, _ = load_scene_assets(p)
+        else:
+            loaded = {"coarse": load_nerf_params(p / "coarse"),
+                      "fine": load_nerf_params(p / "fine")}
+        params_c, params_f = loaded["coarse"], loaded["fine"]
+        from nerf_rs_tpu.io.weights import CANONICAL_SHAPES
+        if any(tuple(params_c[l]["kernel"].shape) != s
+               for l, s in CANONICAL_SHAPES.items()) and impl == "pallas":
+            impl = "xla"
+            cfg = cfg.replace(impl="xla")
+    else:
+        params_c = load_nerf_params(assets / "coarse")
+        params_f = load_nerf_params(assets / "fine")
 
     import numpy as np
 
@@ -297,7 +349,9 @@ def main() -> None:
                 f"accel_psnr_db {psnr} < 40 dB contract — speedup invalid "
                 "(capacity overflow / mis-calibrated grid?)"
             )
-    if (nc, nf) != (64, 128):
+    if student:
+        result["student_arch"] = arch_env
+    if (nc, nf) != (64, 128) and not student:
         # Quality axis of the rays/s-vs-PSNR frontier: reduced-sample runs
         # (e.g. the reference's own 32+64 wasm preset) report PSNR vs the
         # full-quality 64+128 exact render. Informational, not a guard —

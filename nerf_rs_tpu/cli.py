@@ -262,14 +262,25 @@ def cmd_train(args) -> int:
         sharded_train_step,
     )
 
+    from nerf_rs_tpu.config import ArchConfig
+
+    arch = ArchConfig(width=args.width, v_width=args.v_width,
+                      depth=args.depth, skip_at=args.skip_at)
+    impl = args.impl
+    if not arch.is_canonical and impl == "pallas":
+        # The fused kernel is specialized to the canonical shapes; student
+        # family members run on the XLA path (tiled fine at any width).
+        print(f"note: non-canonical arch {arch} — student runs impl='xla'")
+        impl = "xla"
     cfg = TrainConfig(
         batch_rays=args.batch_rays,
         n_steps=args.steps,
         checkpoint_every=args.checkpoint_every,
         seed=args.seed,
+        arch=arch,
         render=RenderConfig(
             n_coarse=args.coarse_samples, n_fine=args.fine_samples,
-            ray_chunk=args.batch_rays, impl=args.impl, dtype=args.dtype,
+            ray_chunk=args.batch_rays, impl=impl, dtype=args.dtype,
         ),
     )
     mesh, state = create_sharded_train_state(jax.random.key(cfg.seed), cfg)
@@ -278,8 +289,27 @@ def cmd_train(args) -> int:
     if args.checkpoint_dir:
         ckpt = latest_checkpoint(args.checkpoint_dir)
         if ckpt is not None:
+            from nerf_rs_tpu.io.checkpoint import restore_params
+            from nerf_rs_tpu.models.mlp import arch_shapes
             from nerf_rs_tpu.parallel.mesh import replicate
 
+            # Arch guard BEFORE the templated restore: orbax restores saved
+            # arrays whenever the tree *structure* matches, so resuming a
+            # checkpoint with different layer widths would silently ignore
+            # the --width/--v-width flags (and a depth mismatch dies with an
+            # opaque orbax structure error). Fail with the actual archs.
+            saved, _ = restore_params(ckpt)
+            want = arch_shapes(arch)
+            got = {l: tuple(np.asarray(saved["coarse"][l]["kernel"]).shape)
+                   for l in saved["coarse"]}
+            if got != want:
+                sys.exit(
+                    f"error: checkpoint {ckpt} holds a different architecture "
+                    f"than the requested --width/--v-width/--depth/--skip-at "
+                    f"({arch}).\n  checkpoint layers: {sorted(got.items())}\n"
+                    f"  requested layers:  {sorted(want.items())}\n"
+                    "Match the flags to the checkpoint or use a fresh "
+                    "--checkpoint-dir.")
             # Restored leaves are host numpy — re-commit to the mesh with the
             # replicated sharding the fresh-start path uses.
             state = replicate(mesh, restore_checkpoint(ckpt, state))
@@ -293,7 +323,11 @@ def cmd_train(args) -> int:
         from nerf_rs_tpu.data import DistillationDataset
 
         teacher, _, _ = _load_scene(args)
-        dataset = DistillationDataset(teacher, cfg=cfg.render, seed=cfg.seed)
+        # The teacher is always canonical — keep it on the user's requested
+        # impl (e.g. the fused kernel) even when the student fell back to
+        # XLA for a non-canonical arch.
+        teacher_cfg = cfg.render.replace(impl=args.impl)
+        dataset = DistillationDataset(teacher, cfg=teacher_cfg, seed=cfg.seed)
         print("no --data given: distilling from the pretrained lego networks")
 
     # Preemption safety: SIGTERM/SIGINT request a graceful stop; the loop
@@ -420,10 +454,8 @@ def cmd_evaluate(args) -> int:
     import jax
     import numpy as np
 
-    from nerf_rs_tpu.config import TrainConfig
-    from nerf_rs_tpu.io.checkpoint import latest_checkpoint, restore_checkpoint
+    from nerf_rs_tpu.io.checkpoint import latest_checkpoint, restore_params
     from nerf_rs_tpu.render import render_image
-    from nerf_rs_tpu.train import create_train_state
 
     if args.checkpoint is None and args.checkpoint_dir is None:
         sys.exit("error: pass --checkpoint or --checkpoint-dir")
@@ -432,9 +464,10 @@ def cmd_evaluate(args) -> int:
     ckpt = args.checkpoint or latest_checkpoint(args.checkpoint_dir)
     if ckpt is None:
         sys.exit("error: no checkpoint found (--checkpoint or --checkpoint-dir)")
-    template = create_train_state(jax.random.key(0), TrainConfig())
-    state = restore_checkpoint(ckpt, template)
-    params = jax.device_put(state.params)
+    # Template-free restore: the student's architecture (any ArchConfig
+    # member) is inferred from the checkpoint itself.
+    params, step = restore_params(ckpt)
+    params = jax.device_put(params)
 
     key = jax.random.key(args.seed)
     ref = np.asarray(render_image(teacher["coarse"], teacher["fine"], camera,
@@ -443,23 +476,19 @@ def cmd_evaluate(args) -> int:
                                   args.size, args.size, key, cfg))
     mse = float(np.mean((img - ref) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-12))
-    print(f"step {int(state.step)}: {args.size}x{args.size} PSNR vs teacher "
+    print(f"step {step}: {args.size}x{args.size} PSNR vs teacher "
           f"{psnr:.2f} dB (mse {mse:.3e})")
     return 0
 
 
 def cmd_export(args) -> int:
-    """Export a training checkpoint to the reference .bin format."""
-    import jax
+    """Export a training checkpoint to the reference .bin format (any
+    ArchConfig member; shapes.txt records the student dims)."""
+    from nerf_rs_tpu.io.checkpoint import export_reference_format, restore_params
 
-    from nerf_rs_tpu.config import TrainConfig
-    from nerf_rs_tpu.io.checkpoint import export_reference_format, restore_checkpoint
-    from nerf_rs_tpu.train import create_train_state
-
-    template = create_train_state(jax.random.key(0), TrainConfig())
-    state = restore_checkpoint(args.checkpoint, template)
-    export_reference_format(args.output, state.params)
-    print(f"exported step {int(state.step)} params to {args.output} "
+    params, step = restore_params(args.checkpoint)
+    export_reference_format(args.output, params)
+    print(f"exported step {step} params to {args.output} "
           "(reference shapes.txt + .bin format)")
     return 0
 
@@ -531,6 +560,16 @@ def _add_common(p):
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor $JAX_PLATFORMS even where a platform plugin (e.g. the
+        # tunneled axon TPU) overrides the env var with its own default —
+        # jax.config wins over the plugin, so `JAX_PLATFORMS=cpu python -m
+        # nerf_rs_tpu ...` reliably forces CPU.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     parser = argparse.ArgumentParser(prog="nerf_rs_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -585,6 +624,15 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="train coarse+fine networks")
     _add_common(p)
+    p.add_argument("--width", type=int, default=256,
+                   help="trunk width (non-canonical values train a smaller "
+                        "distillation student on the XLA path)")
+    p.add_argument("--v-width", type=int, default=128,
+                   help="view-branch width")
+    p.add_argument("--depth", type=int, default=8, help="dense trunk layers")
+    p.add_argument("--skip-at", type=int, default=4,
+                   help="encoded input re-concatenated before "
+                        "dense{skip_at+1} (reference: 4)")
     p.add_argument("--data", help="nerf_synthetic scene dir (default: distill)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-rays", type=int, default=4096)

@@ -50,6 +50,38 @@ class RenderConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ArchConfig:
+    """NeRF MLP architecture family.
+
+    The reference has exactly ONE architecture (canonical lego: 8x256
+    trunk, skip after layer 4, 128-wide view branch — network.rs:172-237).
+    Here the family is parametric: smaller *student* networks trained by
+    distillation (cli train --width ...) cut MLP FLOPs quadratically in
+    width — the work-reduction lever the dense render ceiling analysis
+    (docs/PERF.md) calls for. The fused Pallas kernel serves the canonical
+    shape; other members run on the XLA path (whose matmuls XLA tiles fine
+    at any width).
+    """
+
+    width: int = 256      # trunk width (canonical 256)
+    v_width: int = 128    # view-branch width (canonical 128)
+    depth: int = 8        # dense trunk layers (canonical 8)
+    skip_at: int = 4      # encoded input re-concatenated BEFORE dense{skip_at+1}
+    #                       (reference: h = concat(h0, h4) feeds dense5,
+    #                        network.rs:210-211)
+
+    @property
+    def is_canonical(self) -> bool:
+        return self == ArchConfig()
+
+    def replace(self, **kw) -> "ArchConfig":
+        return dataclasses.replace(self, **kw)
+
+
+CANONICAL_ARCH = ArchConfig()
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Training hyper-parameters (the reference has no training; these follow
     the original NeRF recipe: Adam 5e-4 with exponential decay to 5e-6)."""
@@ -63,6 +95,7 @@ class TrainConfig:
     checkpoint_every: int = 10_000
     seed: int = 0
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    arch: ArchConfig = dataclasses.field(default_factory=ArchConfig)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -55,6 +55,23 @@ def restore_checkpoint(path, template):
     return restored
 
 
+def restore_params(path):
+    """Restore only ``(params, step)`` from a checkpoint, template-free.
+
+    A raw (item-less) orbax restore returns plain nested dicts, so this
+    works for ANY ArchConfig family member without knowing its shape up
+    front — evaluate/export infer the architecture from the checkpoint
+    instead of requiring matching --width/--depth flags. (Resuming
+    *training* still goes through restore_checkpoint with a template,
+    because the optimizer state must be rebuilt as optax namedtuples.)
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(Path(path).absolute())
+    return raw["params"], int(np.asarray(raw["step"]))
+
+
 def export_reference_format(directory, params) -> None:
     """Write {coarse,fine}/ weight dirs readable by the reference renderer
     (and by our loader)."""

@@ -18,6 +18,7 @@ tensor reads go through it; otherwise numpy.fromfile is used.
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -115,6 +116,18 @@ def _read_tensor(path: Path, dims: Tuple[int, ...]) -> np.ndarray:
     return _read_tensor_numpy(path, dims)
 
 
+
+
+def param_layer_names(params_or_keys) -> Tuple[str, ...]:
+    """Ordered layer list for any ArchConfig family member: dense0..N in
+    index order, then the four heads. The canonical arch yields exactly
+    LAYER_NAMES (the reference's fixed list, lib.rs:133-169)."""
+    keys = set(params_or_keys)
+    dense = sorted((k for k in keys if re.fullmatch(r"dense\d+", k)),
+                   key=lambda k: int(k[5:]))
+    heads = tuple(h for h in ("bottleneck", "viewdirs", "rgb", "alpha") if h in keys)
+    return tuple(dense) + heads
+
 def load_raw_params(directory: os.PathLike) -> Dict[str, np.ndarray]:
     """Load every tensor named in ``shapes.txt`` from ``directory``."""
     directory = Path(directory)
@@ -139,7 +152,9 @@ def load_nerf_params(
     """
     raw = load_raw_params(directory)
     params: Dict[str, Dict[str, np.ndarray]] = {}
-    for layer in LAYER_NAMES:
+    layers = param_layer_names(
+        {n[: -len("_kernel")] for n in raw if n.endswith("_kernel")})
+    for layer in layers:
         kernel = raw.pop(f"{layer}_kernel")
         bias = raw.pop(f"{layer}_bias")
         if kernel.ndim != 2:
@@ -167,7 +182,7 @@ def save_nerf_params(directory: os.PathLike, params) -> None:
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     lines = []
-    for layer in LAYER_NAMES:
+    for layer in param_layer_names(params):
         kernel = np.asarray(params[layer]["kernel"], dtype="<f4")
         bias = np.asarray(params[layer]["bias"], dtype="<f4")
         kernel.tofile(directory / f"{layer}_kernel.bin")
@@ -190,7 +205,7 @@ def save_bundle(path: os.PathLike, coarse_params, fine_params,
     """
     arrays: Dict[str, np.ndarray] = {}
     for net, params in (("coarse", coarse_params), ("fine", fine_params)):
-        for layer in LAYER_NAMES:
+        for layer in param_layer_names(params):
             arrays[f"{net}.{layer}.kernel"] = np.asarray(
                 params[layer]["kernel"], dtype="<f4")
             arrays[f"{net}.{layer}.bias"] = np.asarray(
@@ -213,12 +228,15 @@ def load_bundle(path: os.PathLike, dtype=np.float32, device_put: bool = True):
         params: Dict[str, Dict[str, Dict[str, np.ndarray]]] = {}
         for net in ("coarse", "fine"):
             tree: Dict[str, Dict[str, np.ndarray]] = {}
-            for layer in LAYER_NAMES:
+            layers = param_layer_names(
+                {f.split(".")[1] for f in z.files
+                 if f.startswith(f"{net}.") and f.endswith(".kernel")})
+            for layer in layers:
                 tree[layer] = {
                     "kernel": z[f"{net}.{layer}.kernel"].astype(dtype),
                     "bias": z[f"{net}.{layer}.bias"].astype(dtype),
                 }
-            validate_param_shapes(tree)
+            validate_param_chain(tree)   # any ArchConfig member, not just canonical
             params[net] = tree
     if device_put:
         import jax
@@ -258,3 +276,47 @@ def validate_param_shapes(params) -> None:
             raise ValueError(f"{layer}.kernel: expected {(d_in, d_out)}, got {tuple(k.shape)}")
         if tuple(b.shape) != (d_out,):
             raise ValueError(f"{layer}.bias: expected {(d_out,)}, got {tuple(b.shape)}")
+
+
+def validate_param_chain(params, x_freqs: int = 10, d_freqs: int = 4) -> None:
+    """Assert a (possibly non-canonical) pytree is a consistent ArchConfig
+    family member: trunk dims chain (with exactly one skip re-concat of the
+    encoded input allowed), heads consume the trunk width, rgb consumes the
+    view branch. Accepts everything models.mlp.nerf_mlp can run."""
+    enc_x, enc_d = 3 + 6 * x_freqs, 3 + 6 * d_freqs
+    layers = param_layer_names(params)
+    dense = [n for n in layers if n.startswith("dense")]
+    if not dense or dense != [f"dense{i}" for i in range(len(dense))]:
+        raise ValueError(f"trunk layers must be dense0..N, got {dense}")
+    for head in ("bottleneck", "viewdirs", "rgb", "alpha"):
+        if head not in layers:
+            raise ValueError(f"missing head layer {head!r}")
+    h = enc_x
+    skips = 0
+    for name in dense:
+        k = params[name]["kernel"]
+        b = params[name]["bias"]
+        if tuple(b.shape) != (k.shape[1],):
+            raise ValueError(f"{name}.bias {tuple(b.shape)} != kernel cols {k.shape[1]}")
+        if k.shape[0] == h + enc_x and name != "dense0":
+            skips += 1                      # skip concat feeds this layer
+        elif k.shape[0] != h:
+            raise ValueError(
+                f"{name}.kernel input dim {k.shape[0]} matches neither the "
+                f"running width {h} nor a skip concat {h + enc_x}")
+        h = k.shape[1]
+    if skips > 1:
+        raise ValueError(f"expected at most one skip concat, found {skips}")
+    width = h
+    for name, d_in in (("bottleneck", width), ("alpha", width),
+                       ("viewdirs", width + enc_d)):
+        if params[name]["kernel"].shape[0] != d_in:
+            raise ValueError(
+                f"{name}.kernel input dim {params[name]['kernel'].shape[0]} "
+                f"!= expected {d_in}")
+    v_width = params["viewdirs"]["kernel"].shape[1]
+    if tuple(params["rgb"]["kernel"].shape) != (v_width, 3):
+        raise ValueError(
+            f"rgb.kernel {tuple(params['rgb']['kernel'].shape)} != ({v_width}, 3)")
+    if params["alpha"]["kernel"].shape[1] != 1:
+        raise ValueError("alpha.kernel must have 1 output column")

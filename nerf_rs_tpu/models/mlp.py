@@ -59,10 +59,17 @@ def nerf_mlp(
     """
     h0 = positional_encoding(points, x_freqs)
     h = h0
-    for i in range(5):
-        h = jax.nn.relu(_dense(params, f"dense{i}", h))
-    h = jnp.concatenate([h0, h], axis=-1)  # skip: encoded input FIRST (network.rs:210-211)
-    for i in range(5, 8):
+    # Depth and skip placement derive from the params themselves (number of
+    # dense{i} entries; a layer whose input dim exceeds the running width by
+    # exactly enc_dim consumes the skip concat) — one forward serves the
+    # whole ArchConfig family, canonical lego included (5 + skip + 3).
+    n_dense = sum(1 for k in params if k.startswith("dense"))
+    enc_dim = h0.shape[-1]
+    for i in range(n_dense):
+        d_in = params[f"dense{i}"]["kernel"].shape[0]
+        if i > 0 and d_in == h.shape[-1] + enc_dim:
+            # skip: encoded input FIRST (network.rs:210-211)
+            h = jnp.concatenate([h0, h], axis=-1)
         h = jax.nn.relu(_dense(params, f"dense{i}", h))
 
     sigma = jax.nn.relu(_dense(params, "alpha", h))[..., 0]
@@ -78,14 +85,40 @@ def nerf_mlp(
     return rgb, sigma
 
 
-def init_nerf_params(key: jax.Array, dtype=jnp.float32) -> Dict[str, Dict[str, jnp.ndarray]]:
-    """Random init of the canonical lego architecture for training from
-    scratch (capability the reference lacks). Glorot-uniform kernels + zero
-    biases, matching the original TF NeRF's tf.keras.layers.Dense defaults."""
+def arch_shapes(arch=None, x_freqs: int = 10, d_freqs: int = 4) -> Dict[str, Tuple[int, int]]:
+    """Layer name -> (d_in, d_out) for an :class:`ArchConfig` family member.
+
+    The canonical default reproduces CANONICAL_SHAPES exactly
+    (lego_rust/*/shapes.txt)."""
+    from nerf_rs_tpu.config import ArchConfig
+
+    arch = arch or ArchConfig()
+    enc_x = 3 + 6 * x_freqs
+    enc_d = 3 + 6 * d_freqs
+    shapes: Dict[str, Tuple[int, int]] = {}
+    d_in = enc_x
+    for i in range(arch.depth):
+        if i == arch.skip_at + 1:
+            d_in += enc_x          # skip concat feeds this layer
+        shapes[f"dense{i}"] = (d_in, arch.width)
+        d_in = arch.width
+    shapes["bottleneck"] = (arch.width, arch.width)
+    shapes["viewdirs"] = (arch.width + enc_d, arch.v_width)
+    shapes["rgb"] = (arch.v_width, 3)
+    shapes["alpha"] = (arch.width, 1)
+    return shapes
+
+
+def init_nerf_params(key: jax.Array, dtype=jnp.float32,
+                     arch=None) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Random init for training from scratch (capability the reference
+    lacks). Glorot-uniform kernels + zero biases, matching the original TF
+    NeRF's tf.keras.layers.Dense defaults. ``arch`` picks the family
+    member (default: canonical lego)."""
+    shapes = arch_shapes(arch)
     params = {}
-    keys = jax.random.split(key, len(LAYER_NAMES))
-    for k, layer in zip(keys, LAYER_NAMES):
-        d_in, d_out = CANONICAL_SHAPES[layer]
+    keys = jax.random.split(key, len(shapes))
+    for k, (layer, (d_in, d_out)) in zip(keys, shapes.items()):
         limit = np.sqrt(6.0 / (d_in + d_out))
         kernel = jax.random.uniform(k, (d_in, d_out), dtype, minval=-limit, maxval=limit)
         params[layer] = {"kernel": kernel, "bias": jnp.zeros((d_out,), dtype)}

@@ -146,6 +146,15 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # Built with pure pad/transpose/concat — dynamic_update_slice / scatter
     # formulations measured ~70 ms on v5e for this same packing (tiny strided
     # scatters serialize); this version is sub-ms.
+    from nerf_rs_tpu.io.weights import CANONICAL_SHAPES
+
+    for layer, shape in CANONICAL_SHAPES.items():
+        got = tuple(params[layer]["kernel"].shape) if layer in params else None
+        if got != shape:
+            raise ValueError(
+                f"fused kernel is specialized to the canonical lego arch; "
+                f"{layer}.kernel is {got}, expected {shape} — run non-"
+                f"canonical ArchConfig members with impl='xla'")
     cdt = jnp.dtype(dtype)
     k = lambda name: jnp.asarray(params[name]["kernel"], jnp.float32)
     b = lambda name: jnp.asarray(params[name]["bias"], jnp.float32)

@@ -41,7 +41,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def create_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
     kc, kf = jax.random.split(key)
-    params = {"coarse": init_nerf_params(kc), "fine": init_nerf_params(kf)}
+    params = {"coarse": init_nerf_params(kc, arch=cfg.arch),
+              "fine": init_nerf_params(kf, arch=cfg.arch)}
     opt_state = make_optimizer(cfg).init(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 

@@ -62,4 +62,8 @@ run s32x64_psampling    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_
 # Kernel batch-tile width (default 1024; VMEM pressure vs per-step overhead):
 run tile512_800         NERF_BENCH_SIZE=800 NERF_FUSED_TILE=512
 run tile2048_800        NERF_BENCH_SIZE=800 NERF_FUSED_TILE=2048
+# Student-architecture throughput (ArchConfig family; random weights — the
+# speed side of the distillation frontier before a student is trained):
+run student128_800      NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64
+run student128_s32x64   NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64 NERF_BENCH_SAMPLES=32,64
 echo "done -> $LOG" >&2

@@ -19,6 +19,9 @@ CHUNK="${CONV_CHUNK:-2000}"
 MAX_STEPS="${CONV_MAX_STEPS:-24000}"
 TARGET_DB="${CONV_TARGET_DB:-30.0}"
 EVAL_SIZE="${CONV_EVAL_SIZE:-400}"
+# Extra `train` args, e.g. a student arch: "--width 128 --v-width 64"
+# (evaluate/export infer the arch from the checkpoint — no flags needed).
+TRAIN_ARGS="${CONV_TRAIN_ARGS:-}"
 mkdir -p "$OUT" "$CKPT"
 
 echo "$(date +%FT%T) convergence run -> $OUT (chunk $CHUNK, max $MAX_STEPS, target ${TARGET_DB} dB @ ${EVAL_SIZE}px)" | tee -a "$LOG"
@@ -28,7 +31,7 @@ psnr="0"
 while [ "$steps" -lt "$MAX_STEPS" ]; do
   steps=$((steps + CHUNK))
   echo "=== train to step $steps ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
-  timeout 3600 python -m nerf_rs_tpu train \
+  timeout 3600 python -m nerf_rs_tpu train $TRAIN_ARGS \
     --steps "$steps" --checkpoint-dir "$CKPT" \
     --checkpoint-every 1000 --log-every 200 >> "$LOG" 2>&1
   rc=$?
@@ -61,25 +64,25 @@ timeout 1200 python - "$OUT/exported" "$ckpt" >> "$LOG" 2>&1 <<'EOF' \
   && echo "export render-parity ok" | tee -a "$LOG"
 import sys
 import jax, numpy as np
-from nerf_rs_tpu.config import RenderConfig, TrainConfig
+from nerf_rs_tpu.config import RenderConfig
 from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
-from nerf_rs_tpu.io.checkpoint import restore_checkpoint
+from nerf_rs_tpu.io.checkpoint import restore_params
 from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
 from nerf_rs_tpu.render import render_image
-from nerf_rs_tpu.train import create_train_state
 
 exported, ckpt = sys.argv[1], sys.argv[2]
 params = {
     "coarse": load_nerf_params(f"{exported}/coarse"),
     "fine": load_nerf_params(f"{exported}/fine"),
 }
-state = restore_checkpoint(ckpt, create_train_state(jax.random.key(0), TrainConfig()))
+ck_params, _ = restore_params(ckpt)   # template-free: any ArchConfig member
+ck_params = jax.device_put(ck_params)
 golden = load_golden(find_lego_assets() / "tf_reference_samples.json")
 cam = camera_from_golden(golden)
 cfg = RenderConfig()
 key = jax.random.key(0)
 a = np.asarray(render_image(params["coarse"], params["fine"], cam, 64, 64, key, cfg))
-b = np.asarray(render_image(state.params["coarse"], state.params["fine"], cam, 64, 64, key, cfg))
+b = np.asarray(render_image(ck_params["coarse"], ck_params["fine"], cam, 64, 64, key, cfg))
 err = float(np.abs(a - b).max())
 print(f"export render parity: max abs err {err:.2e}")
 assert err < 1e-4, err

@@ -23,9 +23,18 @@ while true; do
     bash tools/tpu_ab.sh "$LOG" >> "$STATUS" 2>&1
     echo "$(date +%FT%T) sweep finished (rc=$?)" >> "$STATUS"
     if [ "${TPU_WATCH_CONVERGENCE:-1}" = "1" ]; then
-      echo "$(date +%FT%T) starting convergence run" >> "$STATUS"
+      echo "$(date +%FT%T) starting convergence run (canonical teacher distill)" >> "$STATUS"
       bash tools/tpu_convergence.sh /tmp/tpu_convergence >> "$STATUS" 2>&1
       echo "$(date +%FT%T) convergence finished (rc=$?)" >> "$STATUS"
+      echo "$(date +%FT%T) starting student-128 distill + bench" >> "$STATUS"
+      CONV_TRAIN_ARGS="--width 128 --v-width 64" CONV_TARGET_DB=28 \
+        bash tools/tpu_convergence.sh /tmp/tpu_student >> "$STATUS" 2>&1
+      echo "$(date +%FT%T) student distill finished (rc=$?)" >> "$STATUS"
+      if [ -d /tmp/tpu_student/exported ]; then
+        NERF_BENCH_WEIGHTS=/tmp/tpu_student/exported NERF_BENCH_IMPL=xla \
+          NERF_BENCH_SIZE=800 timeout 1800 python bench.py >> "$LOG" 2>>"$STATUS"
+        echo "$(date +%FT%T) trained-student bench appended to $LOG" >> "$STATUS"
+      fi
     fi
     exit 0
   fi
