@@ -10,7 +10,8 @@ cd "$(dirname "$0")/.."
 
 # Reuse bench.py's daemon-thread device probe (single source of truth).
 probe() {
-  timeout 120 python -c \
+  # flock -n: skip when another TPU client holds the lock (see bench.py).
+  flock -n "${NERF_TPU_LOCK:-/tmp/nerf_tpu.lock}" timeout 120 python -c \
     'import sys, bench; sys.exit(0 if bench._backend_alive(100) is None else 1)'
 }
 
@@ -38,9 +39,9 @@ run() {
 }
 
 # Render-mode ladder (smaller first: compile cache warms, failures surface fast)
-run base_800            NERF_BENCH_SIZE=800
-run interleave_800      NERF_BENCH_SIZE=800 NERF_FUSED_INTERLEAVE=1
-run psampling_800       NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLING=pallas
+run base_800            NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0
+run interleave_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_INTERLEAVE=1
+run psampling_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLING=pallas
 run accel_800           NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
 # Winner combos
 run accel_interleave    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_FUSED_INTERLEAVE=1
@@ -56,12 +57,12 @@ run accel256_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_
 run accel_tight_800     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_T=1e-4 NERF_BENCH_ACCEL_SLACK=1.0
 # The reference's own reduced-sample wasm preset (src/lib.rs:603-612),
 # exact and accelerated (full_psnr_db records the quality trade):
-run s32x64_800          NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64
+run s32x64_800          NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLES=32,64
 run s32x64_accel_800    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1
-run s32x64_psampling    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_SAMPLING=pallas
+run s32x64_psampling    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_SAMPLING=pallas
 # Kernel batch-tile width (default 1024; VMEM pressure vs per-step overhead):
-run tile512_800         NERF_BENCH_SIZE=800 NERF_FUSED_TILE=512
-run tile2048_800        NERF_BENCH_SIZE=800 NERF_FUSED_TILE=2048
+run tile512_800         NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=512
+run tile2048_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=2048
 # Student-architecture throughput (ArchConfig family; random weights — the
 # speed side of the distillation frontier before a student is trained):
 run student128_800      NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64

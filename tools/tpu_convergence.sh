@@ -16,6 +16,12 @@ OUT="${1:-/tmp/tpu_convergence}"
 LOG="$OUT/run.log"
 CKPT="$OUT/ckpts"
 CHUNK="${CONV_CHUNK:-2000}"
+# All TPU invocations serialize on the same flock bench.py takes, so a
+# driver-launched bench waits for an in-flight chunk instead of racing it
+# (two concurrent clients can wedge the tunnel). Chunks are sized to hold
+# the lock <=30 min.
+LOCK="${NERF_TPU_LOCK:-/tmp/nerf_tpu.lock}"
+TPU="flock -w 1800 $LOCK"
 MAX_STEPS="${CONV_MAX_STEPS:-24000}"
 TARGET_DB="${CONV_TARGET_DB:-30.0}"
 EVAL_SIZE="${CONV_EVAL_SIZE:-400}"
@@ -31,7 +37,7 @@ psnr="0"
 while [ "$steps" -lt "$MAX_STEPS" ]; do
   steps=$((steps + CHUNK))
   echo "=== train to step $steps ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
-  timeout 3600 python -m nerf_rs_tpu train $TRAIN_ARGS \
+  $TPU timeout 1800 python -m nerf_rs_tpu train $TRAIN_ARGS \
     --steps "$steps" --checkpoint-dir "$CKPT" \
     --checkpoint-every 1000 --log-every 200 >> "$LOG" 2>&1
   rc=$?
@@ -41,7 +47,7 @@ while [ "$steps" -lt "$MAX_STEPS" ]; do
     exit 1
   fi
   echo "=== evaluate @ step $steps ===" | tee -a "$LOG"
-  ev=$(timeout 1200 python -m nerf_rs_tpu evaluate \
+  ev=$($TPU timeout 1200 python -m nerf_rs_tpu evaluate \
        --checkpoint-dir "$CKPT" --size "$EVAL_SIZE" 2>>"$LOG")
   echo "$ev" | tee -a "$LOG"
   psnr=$(echo "$ev" | grep -oE 'PSNR vs teacher [0-9.]+' | grep -oE '[0-9.]+$')
@@ -54,13 +60,13 @@ done
 
 ckpt=$(ls -d "$CKPT"/step_* 2>/dev/null | sort | tail -1)
 echo "=== export $ckpt -> reference .bin format ===" | tee -a "$LOG"
-timeout 600 python -m nerf_rs_tpu export --checkpoint "$ckpt" -o "$OUT/exported" >> "$LOG" 2>&1 \
+$TPU timeout 600 python -m nerf_rs_tpu export --checkpoint "$ckpt" -o "$OUT/exported" >> "$LOG" 2>&1 \
   && echo "export ok" | tee -a "$LOG"
 # The golden tolerances belong to the TEACHER weights; for the student
 # export the verification that matters is: the .bin bundle round-trips
 # through the reference-format loader and renders the same image as the
 # checkpoint params (allclose at render level).
-timeout 1200 python - "$OUT/exported" "$ckpt" >> "$LOG" 2>&1 <<'EOF' \
+$TPU timeout 1200 python - "$OUT/exported" "$ckpt" >> "$LOG" 2>&1 <<'EOF' \
   && echo "export render-parity ok" | tee -a "$LOG"
 import sys
 import jax, numpy as np

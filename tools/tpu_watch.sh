@@ -11,7 +11,9 @@ STATUS="${2:-/tmp/tpu_watch.status}"
 INTERVAL="${TPU_WATCH_INTERVAL:-300}"
 
 probe() {
-  timeout 120 python -c \
+  # flock -n: if another TPU client holds the lock, skip the probe — a
+  # second concurrent client can wedge the tunnel for both.
+  flock -n "${NERF_TPU_LOCK:-/tmp/nerf_tpu.lock}" timeout 120 python -c \
     'import sys, bench; sys.exit(0 if bench._backend_alive(100) is None else 1)' \
     >/dev/null 2>&1
 }
