@@ -139,6 +139,8 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
     if accel:
         res = _accel_res()
         accel_tag = "+accel" if res == 128 else f"+accel{res}"
+        if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
+            accel_tag += "+aabb"
     suffix = (f"{impl}/{dtype}" + accel_tag
               + ("+psampling" if sampling == "pallas" else ""))
     if os.environ.get("NERF_BENCH_ARCH"):
@@ -292,6 +294,8 @@ def main() -> None:
     nc, nf = _samples()
     cfg = RenderConfig(n_coarse=nc, n_fine=nf, ray_chunk=16384, impl=impl,
                        dtype=dtype, sampling_impl=sampling)
+    if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
+        cfg = cfg.replace(accel_sample_aabb=True)
     if "NERF_BENCH_ACCEL_T" in os.environ:
         cfg = cfg.replace(accel_t_threshold=float(os.environ["NERF_BENCH_ACCEL_T"]))
     if "NERF_BENCH_ACCEL_SLACK" in os.environ:

@@ -140,6 +140,65 @@ def query_occupancy(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
     return occ & in_bounds
 
 
+def occupied_aabb(grid: OccupancyGrid) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tight world-space AABB of the occupied cells, (lo, hi) each (3,).
+
+    Three any-reductions + index min/max over the bool grid (~R^3 ops,
+    microseconds next to one MLP chunk). A fully empty grid yields an
+    inverted box (lo > hi) — ray_aabb_range then degenerates every ray's
+    range to a point, which composites to pure background."""
+    r = grid.resolution
+    cell = (grid.aabb_max - grid.aabb_min) / r
+    idx = jnp.arange(r, dtype=jnp.float32)
+    axes = [jnp.any(grid.occ, axis=ax) for ax in ((1, 2), (0, 2), (0, 1))]
+    first = jnp.stack([jnp.min(jnp.where(a, idx, jnp.float32(r))) for a in axes])
+    last = jnp.stack([jnp.max(jnp.where(a, idx, jnp.float32(-1))) for a in axes])
+    lo = grid.aabb_min + first * cell
+    hi = grid.aabb_min + (last + 1.0) * cell
+    return lo, hi
+
+
+def ray_aabb_range(grid: OccupancyGrid, origin: jnp.ndarray,
+                   dirs: jnp.ndarray, near, far,
+                   pad_cells: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray sample range [t0, t1] = the ray's intersection with the
+    occupied-cell AABB (slab test), clamped to [near, far].
+
+    With cfg.accel_sample_aabb the stratified sampler runs over [t0, t1]
+    instead of [near, far]: the same Nc samples then resolve the occupied
+    span at (far-near)/(t1-t0) times the density — on lego roughly 2x —
+    which is what lets reduced-sample presets hold quality. The box is
+    padded by ``pad_cells`` cells on each side (the grid is additionally
+    dilated at build time). Rays that miss the box get t1 == t0: every
+    sample lands on one point outside occupancy, is culled, and the ray
+    composites to the background.
+
+    Returns (t0, t1) shaped (*batch, 1) for direct use as the sampler's
+    per-ray near/far. origin may be (3,) shared or (*batch, 3).
+    """
+    lo, hi = occupied_aabb(grid)
+    # A fully empty grid yields an inverted box; the per-axis min/max of the
+    # slab test would re-sort it into a spurious valid range, so collapse
+    # explicitly below.
+    is_empty = jnp.any(lo > hi)
+    cell = (grid.aabb_max - grid.aabb_min) / grid.resolution
+    lo = lo - pad_cells * cell
+    hi = hi + pad_cells * cell
+    # Slab test; zero components get a huge inverse so their slabs are
+    # (-inf, inf) unless the origin lies outside — handled by the clamp.
+    safe = jnp.where(jnp.abs(dirs) < 1e-9,
+                     jnp.where(dirs < 0, -1e-9, 1e-9), dirs)
+    inv = 1.0 / safe
+    ta = (lo - origin) * inv
+    tb = (hi - origin) * inv
+    tmin = jnp.max(jnp.minimum(ta, tb), axis=-1, keepdims=True)
+    tmax = jnp.min(jnp.maximum(ta, tb), axis=-1, keepdims=True)
+    t0 = jnp.clip(tmin, near, far)
+    t1 = jnp.clip(tmax, t0, far)   # misses (tmax < tmin) collapse to t1 == t0
+    t1 = jnp.where(is_empty, t0, t1)
+    return t0, t1
+
+
 def compact_apply(
     fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, ...]],
     rows: jnp.ndarray,

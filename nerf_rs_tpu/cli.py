@@ -68,6 +68,8 @@ def cmd_render(args) -> int:
         )
 
         t0 = time.perf_counter()
+        if getattr(args, "accel_aabb", False):
+            cfg = cfg.replace(accel_sample_aabb=True)
         grid = build_scene_grid(params["coarse"], params["fine"],
                                 resolution=args.accel_res)
         # Chunk-safe capacities for THIS camera/size: compaction overflow
@@ -78,7 +80,10 @@ def cmd_render(args) -> int:
 
             chunk = effective_chunk(args.height * args.width,
                                     jax.device_count(), cfg)
-        if args.accel_calibrate:
+        if args.accel_calibrate or cfg.accel_sample_aabb:
+            # AABB clamping concentrates samples in occupied cells, so the
+            # geometry-only suggestion (uniform midpoints) undershoots —
+            # always use the measured calibration with the clamp active.
             cfg = calibrate_capacities(
                 params["coarse"], params["fine"], grid, camera,
                 args.height, args.width, jax.random.key(args.seed), cfg,
@@ -587,6 +592,10 @@ def main(argv=None) -> int:
     p.add_argument("--accel-calibrate", action="store_true",
                    help="measure capacities with one instrumented render "
                         "(tighter than the default geometry estimate)")
+    p.add_argument("--accel-aabb", action="store_true",
+                   help="clamp each ray's sample range to the occupied-AABB "
+                        "intersection (same sample count, denser on the "
+                        "object; implies --accel-calibrate)")
     p.add_argument("--trace-dir", help="write a jax.profiler trace here")
     p.add_argument("--orbit", type=int, default=0,
                    help="render N turntable frames rotating the camera "

@@ -44,6 +44,15 @@ class RenderConfig:
     #                                  (coarse T collapses within ~1 sample at
     #                                  surfaces; the fine surface can sit a
     #                                  fraction of a bin later)
+    accel_sample_aabb: bool = False  # clamp each ray's sample range to its
+    #                                  intersection with the occupied-cell
+    #                                  AABB (accel.ray_aabb_range): the same
+    #                                  sample count concentrates where matter
+    #                                  is — the quality-per-sample lever for
+    #                                  reduced-sample presets. Changes sample
+    #                                  PLACEMENT vs the reference semantics,
+    #                                  so opt-in and PSNR-guarded like the
+    #                                  rest of the accel mode.
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

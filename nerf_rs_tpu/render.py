@@ -139,7 +139,15 @@ def render_rays(
                          "calibrate capacities through the inference path")
 
     # --- coarse pass (reference lib.rs:375-404) ---
-    t_c = stratified_samples(k_coarse, near, far, cfg.n_coarse, batch_shape)
+    t_lo, t_hi = near, far
+    if accel and cfg.accel_sample_aabb:
+        # Clamp each ray's sample range to its occupied-AABB intersection:
+        # same sample count, ~2x the sample density where matter actually
+        # is (accel.ray_aabb_range). Placement-changing, so accel-gated.
+        from nerf_rs_tpu.accel import ray_aabb_range
+
+        t_lo, t_hi = ray_aabb_range(grid, origin, dirs, near, far)
+    t_c = stratified_samples(k_coarse, t_lo, t_hi, cfg.n_coarse, batch_shape)
     pts_c = origin[..., None, :] + dirs[..., None, :] * t_c[..., :, None]
     # The reference discards coarse colors (lib.rs:404) — skip the color
     # branch unless the caller needs the coarse image (training/aux).

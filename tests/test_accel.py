@@ -188,3 +188,97 @@ def test_calibrate_capacities(lego_params, golden):
     mse = float(np.mean((exact - fast) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-12))
     assert psnr > 40.0, f"calibrated accel render deviates: {psnr:.1f} dB"
+
+
+def test_occupied_aabb_and_ray_range_geometry():
+    """ray_aabb_range slab test against a synthetic single-block grid:
+    center rays bracket the block, side rays miss (t1 == t0), and an empty
+    grid degenerates every ray."""
+    from nerf_rs_tpu.accel import OccupancyGrid, occupied_aabb, ray_aabb_range
+
+    r = 16
+    occ = jnp.zeros((r, r, r), bool)
+    occ = occ.at[6:10, 6:10, 6:10].set(True)   # cells 6..9 -> world [-0.5, 0.5]
+    grid = OccupancyGrid(occ=occ,
+                         aabb_min=jnp.full((3,), -2.0),
+                         aabb_max=jnp.full((3,), 2.0))
+    lo, hi = occupied_aabb(grid)
+    np.testing.assert_allclose(np.asarray(lo), [-0.5] * 3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hi), [0.5] * 3, atol=1e-6)
+
+    origin = jnp.asarray([0.0, 0.0, -4.0])
+    dirs = jnp.asarray([
+        [0.0, 0.0, 1.0],    # straight through the block
+        [0.0, 1.0, 0.0],    # parallel miss (runs along y at z=-4)
+    ])
+    t0, t1 = ray_aabb_range(grid, origin, dirs, 2.0, 6.0, pad_cells=0.0)
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    # Through-ray: enters at z=-0.5 (t=3.5), exits z=0.5 (t=4.5).
+    np.testing.assert_allclose(t0[0, 0], 3.5, atol=1e-5)
+    np.testing.assert_allclose(t1[0, 0], 4.5, atol=1e-5)
+    # Miss: degenerate range inside [near, far].
+    assert t1[1, 0] == t0[1, 0]
+
+    empty = OccupancyGrid(occ=jnp.zeros((r, r, r), bool),
+                          aabb_min=grid.aabb_min, aabb_max=grid.aabb_max)
+    t0e, t1e = ray_aabb_range(empty, origin, dirs, 2.0, 6.0)
+    assert np.all(np.asarray(t0e) == np.asarray(t1e))
+
+
+def test_aabb_sampling_miss_rays_are_background(lego_params, golden):
+    """Rays whose AABB range degenerates must composite to the exact white
+    background — all their samples land on one culled point."""
+    from nerf_rs_tpu.accel import build_scene_grid
+    from nerf_rs_tpu.render import render_rays
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=32, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=32 * 32 * 32, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64,
+                       accel_sample_aabb=True)
+    cam = camera_from_golden(golden)
+    origin = jnp.asarray(cam.position)
+    # Rays pointing AWAY from the scene (camera looks at the origin).
+    away = -jnp.asarray(cam.forward)[None, :] * jnp.ones((8, 1))
+    rgb = render_rays(lego_params["coarse"], lego_params["fine"], origin,
+                      away, cam.near, cam.far, jax.random.key(0), cfg,
+                      grid=grid)
+    np.testing.assert_array_equal(np.asarray(rgb), 1.0)
+
+
+def test_aabb_sampling_improves_reduced_sample_quality(lego_params, golden):
+    """The point of accel_sample_aabb: at a reduced sample count, clamped
+    placement should track the full-quality render at least as well as
+    uniform placement (and stay a sane image in absolute terms)."""
+    from nerf_rs_tpu.accel import build_scene_grid
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=48, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=48 * 48 * 48, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cam = camera_from_golden(golden)
+    key = jax.random.key(3)
+    full = np.asarray(render_image(
+        lego_params["coarse"], lego_params["fine"], cam, 16, 16, key,
+        RenderConfig(n_coarse=64, n_fine=128, ray_chunk=256)))
+
+    def psnr_vs_full(aabb: bool) -> float:
+        cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=256,
+                           accel_sample_aabb=aabb)
+        img = np.asarray(render_image(
+            lego_params["coarse"], lego_params["fine"], cam, 16, 16, key,
+            cfg, grid=grid))
+        mse = float(np.mean((full - img) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))
+
+    uniform_db = psnr_vs_full(False)
+    clamped_db = psnr_vs_full(True)
+    # Measured on CPU at this config: uniform ~20.1 dB, clamped ~24.1 dB —
+    # the clamp concentrates 16 coarse bins on the ~2-unit occupied span.
+    assert clamped_db > 22.0, f"clamped render too far off: {clamped_db:.1f} dB"
+    assert clamped_db > uniform_db + 0.5, (
+        f"AABB clamping should win at reduced samples: "
+        f"{clamped_db:.1f} vs {uniform_db:.1f} dB")

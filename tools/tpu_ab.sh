@@ -38,7 +38,10 @@ run() {
   tail -1 "$LOG" >&2
 }
 
-# Render-mode ladder (smaller first: compile cache warms, failures surface fast)
+# FIRST: the exact config the end-of-round driver runs (defaults, auto
+# accel) — if the tunnel window is short, this is the number that counts.
+run default_800         NERF_BENCH_SIZE=800
+# Render-mode ladder
 run base_800            NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0
 run interleave_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_INTERLEAVE=1
 run psampling_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLING=pallas
@@ -60,6 +63,12 @@ run accel_tight_800     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_
 run s32x64_800          NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLES=32,64
 run s32x64_accel_800    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1
 run s32x64_psampling    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_SAMPLING=pallas
+# AABB-clamped sample placement (accel_sample_aabb): same sample count
+# concentrated on the occupied span — the quality-per-sample lever. The
+# reduced-sample legs are the payoff (full_psnr_db is the quality record):
+run accel_aabb_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
+run s32x64_accel_aabb   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
+run s16x32_accel_aabb   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=16,32 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
 # Kernel batch-tile width (default 1024; VMEM pressure vs per-step overhead):
 run tile512_800         NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=512
 run tile2048_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=2048
