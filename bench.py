@@ -296,6 +296,9 @@ def main() -> None:
                        dtype=dtype, sampling_impl=sampling)
     if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
         cfg = cfg.replace(accel_sample_aabb=True)
+    if os.environ.get("NERF_BENCH_AABB_PROBES"):
+        cfg = cfg.replace(
+            accel_aabb_probes=int(os.environ["NERF_BENCH_AABB_PROBES"]))
     if "NERF_BENCH_ACCEL_T" in os.environ:
         cfg = cfg.replace(accel_t_threshold=float(os.environ["NERF_BENCH_ACCEL_T"]))
     if "NERF_BENCH_ACCEL_SLACK" in os.environ:

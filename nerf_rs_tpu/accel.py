@@ -199,6 +199,41 @@ def ray_aabb_range(grid: OccupancyGrid, origin: jnp.ndarray,
     return t0, t1
 
 
+def ray_occupied_range(grid: OccupancyGrid, origin: jnp.ndarray,
+                       dirs: jnp.ndarray, near, far, *, probes: int = 128,
+                       pad_probes: float = 1.0,
+                       pad_cells: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray [t0, t1] spanning the ray's FIRST..LAST occupied cell.
+
+    Strictly tighter than :func:`ray_aabb_range` (which it pre-clips with):
+    a ray grazing the corner of the occupied box gets the short span it
+    actually traverses, not the box chord. ``probes`` equally spaced grid
+    lookups along the box span locate the occupied run; the result is
+    padded by ``pad_probes`` probe intervals on each side (plus the grid's
+    own build-time dilation) so thin features between probes stay covered.
+    Rays with no occupied probe collapse to a point (background).
+
+    Cost: probes lookups per ray, no MLP — at 800x800x128 this is ~80M
+    int gathers once per render, microseconds-to-ms next to the MLP.
+    """
+    t0, t1 = ray_aabb_range(grid, origin, dirs, near, far,
+                            pad_cells=pad_cells)
+    frac = jnp.linspace(0.0, 1.0, probes, dtype=jnp.float32)
+    ts = t0 + (t1 - t0) * frac                              # (*batch, P)
+    pts = origin[..., None, :] + dirs[..., None, :] * ts[..., :, None]
+    occ = query_occupancy(grid, pts)                        # (*batch, P)
+    idx = jnp.arange(probes, dtype=jnp.float32)
+    first = jnp.min(jnp.where(occ, idx, jnp.float32(probes)),
+                    axis=-1, keepdims=True)
+    last = jnp.max(jnp.where(occ, idx, jnp.float32(-1)),
+                   axis=-1, keepdims=True)
+    step = (t1 - t0) / (probes - 1)
+    r0 = jnp.clip(t0 + (first - pad_probes) * step, t0, t1)
+    r1 = jnp.clip(t0 + (last + pad_probes) * step, r0, t1)
+    no_hit = first > last
+    return jnp.where(no_hit, t0, r0), jnp.where(no_hit, t0, r1)
+
+
 def compact_apply(
     fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, ...]],
     rows: jnp.ndarray,

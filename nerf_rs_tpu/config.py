@@ -53,6 +53,12 @@ class RenderConfig:
     #                                  PLACEMENT vs the reference semantics,
     #                                  so opt-in and PSNR-guarded like the
     #                                  rest of the accel mode.
+    accel_aabb_probes: int = 0       # >0 (with accel_sample_aabb): refine
+    #                                  each ray's range to its first..last
+    #                                  occupied probe along the box span
+    #                                  (accel.ray_occupied_range) — tighter
+    #                                  than the box chord for grazing rays;
+    #                                  this many grid lookups per ray.
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

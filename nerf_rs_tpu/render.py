@@ -144,9 +144,24 @@ def render_rays(
         # Clamp each ray's sample range to its occupied-AABB intersection:
         # same sample count, ~2x the sample density where matter actually
         # is (accel.ray_aabb_range). Placement-changing, so accel-gated.
-        from nerf_rs_tpu.accel import ray_aabb_range
+        # accel_aabb_probes > 0 tightens further to the ray's own occupied
+        # run (grid lookups only).
+        from nerf_rs_tpu.accel import ray_aabb_range, ray_occupied_range
 
-        t_lo, t_hi = ray_aabb_range(grid, origin, dirs, near, far)
+        if cfg.accel_aabb_probes > 0:
+            t_lo, t_hi = ray_occupied_range(grid, origin, dirs, near, far,
+                                            probes=cfg.accel_aabb_probes)
+        else:
+            t_lo, t_hi = ray_aabb_range(grid, origin, dirs, near, far)
+        # Cap the integrator's far at one bin past the clamped range: the
+        # reference's last delta (far - t_last) would otherwise hand the
+        # tail sample a huge interval and overweight its alpha. [t_hi, far]
+        # holds no occupied cell (conservative grid), so the cap is exact
+        # under the same guarantee the rest of the accel mode relies on.
+        # Degenerate rays (t_hi == t_lo) get all-zero deltas -> background.
+        far_w = jnp.minimum(far, t_hi + (t_hi - t_lo) / cfg.n_coarse)
+    else:
+        far_w = far
     t_c = stratified_samples(k_coarse, t_lo, t_hi, cfg.n_coarse, batch_shape)
     pts_c = origin[..., None, :] + dirs[..., None, :] * t_c[..., :, None]
     # The reference discards coarse colors (lib.rs:404) — skip the color
@@ -189,7 +204,7 @@ def render_rays(
         # pallas_call has no JVP rule, and tangents entering it would raise
         # even when the output cotangent is discarded.
         sg = jax.lax.stop_gradient
-        t_f = fused_resample(sg(t_c), sg(sigma_c), u, sg(far),
+        t_f = fused_resample(sg(t_c), sg(sigma_c), u, sg(far_w),
                              t_threshold=cfg.t_threshold,
                              pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
         # Gradient parity with the XLA path (which stops only t_extra and
@@ -204,7 +219,7 @@ def render_rays(
         slot = jax.vmap(jnp.searchsorted)(t_f, t_c)
         t_f = t_f.at[row, slot].add(t_c - jax.lax.stop_gradient(t_c))
     else:
-        w_c = compute_weights(sigma_c, t_c, far, t_threshold=cfg.t_threshold)
+        w_c = compute_weights(sigma_c, t_c, far_w, t_threshold=cfg.t_threshold)
         t_extra = importance_samples(
             k_fine, t_c, w_c, cfg.n_fine, pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps
         )
@@ -224,7 +239,7 @@ def render_rays(
         # bins of *distance* (a smaller T threshold alone does not help).
         mask_f = query_occupancy(grid, pts_f)
         if cfg.accel_t_threshold > 0.0:
-            t_excl = exclusive_transmittance(sigma_c, t_c, far)
+            t_excl = exclusive_transmittance(sigma_c, t_c, far_w)
             live = t_excl >= cfg.accel_t_threshold
             slack = cfg.accel_t_slack_bins * (far - near) / cfg.n_coarse
             t_term = jnp.max(jnp.where(live, t_c, near), axis=-1, keepdims=True)
@@ -239,7 +254,7 @@ def render_rays(
         )
     else:
         rgb_f, sigma_f = mlp(params_fine, pts_f, dirs[..., None, :])
-    w_f = compute_weights(sigma_f, t_f, far, t_threshold=cfg.t_threshold)
+    w_f = compute_weights(sigma_f, t_f, far_w, t_threshold=cfg.t_threshold)
     rgb = composite(rgb_f, w_f, white_background=cfg.white_background)
 
     if return_live:

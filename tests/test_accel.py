@@ -282,3 +282,33 @@ def test_aabb_sampling_improves_reduced_sample_quality(lego_params, golden):
     assert clamped_db > uniform_db + 0.5, (
         f"AABB clamping should win at reduced samples: "
         f"{clamped_db:.1f} vs {uniform_db:.1f} dB")
+
+
+def test_probe_range_tighter_than_box(lego_params, golden):
+    """ray_occupied_range nests inside ray_aabb_range, and probe-refined
+    rendering still composites misses to background."""
+    from nerf_rs_tpu.accel import build_scene_grid, ray_aabb_range, ray_occupied_range
+    from nerf_rs_tpu.render import render_rays
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=32, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=32 * 32 * 32, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cam = camera_from_golden(golden)
+    origin = jnp.asarray(cam.position)
+    fwd = jnp.asarray(cam.forward)[None, :]
+    dirs = jnp.concatenate([fwd, -fwd], axis=0)   # through-ray + away-ray
+    b0, b1 = ray_aabb_range(grid, origin, dirs, cam.near, cam.far)
+    p0, p1 = ray_occupied_range(grid, origin, dirs, cam.near, cam.far)
+    assert np.all(np.asarray(p0) >= np.asarray(b0) - 1e-5)
+    assert np.all(np.asarray(p1) <= np.asarray(b1) + 1e-5)
+    assert np.asarray(p1 - p0)[0, 0] > 0.5        # through-ray keeps a real span
+    assert np.asarray(p1)[1, 0] == np.asarray(p0)[1, 0]   # away-ray collapses
+
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64,
+                       accel_sample_aabb=True, accel_aabb_probes=64)
+    rgb = render_rays(lego_params["coarse"], lego_params["fine"], origin,
+                      -fwd * jnp.ones((8, 1)), cam.near, cam.far,
+                      jax.random.key(0), cfg, grid=grid)
+    np.testing.assert_array_equal(np.asarray(rgb), 1.0)

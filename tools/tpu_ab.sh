@@ -69,6 +69,10 @@ run s32x64_psampling    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLE
 run accel_aabb_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
 run s32x64_accel_aabb   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
 run s16x32_accel_aabb   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=16,32 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
+# Per-ray probe-refined ranges (tighter than the box chord; CPU spot
+# checks are seed-noisy at tiny sizes — the 800x800 full_psnr_db decides):
+run s32x64_aabb_probe   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
+run s16x32_aabb_probe   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=16,32 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
 # Kernel batch-tile width (default 1024; VMEM pressure vs per-step overhead):
 run tile512_800         NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=512
 run tile2048_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=2048
