@@ -54,6 +54,30 @@ def _default_grid_mlp_fn():
     return functools.partial(fused_nerf_mlp, sigma_only=True, dtype="bfloat16")
 
 
+@functools.lru_cache(maxsize=None)
+def _oracle_grid_mlp_fn():
+    """Cached oracle sigma fn for non-canonical (ArchConfig student)
+    params — the fused kernel is specialized to the canonical shapes."""
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+
+    def fn(params, pts, dirs):
+        return nerf_mlp(params, pts, dirs, sigma_only=True)
+
+    return fn
+
+
+def _params_canonical(params) -> bool:
+    from nerf_rs_tpu.io.weights import CANONICAL_SHAPES
+
+    try:
+        return all(
+            tuple(params[l]["kernel"].shape) == s
+            for l, s in CANONICAL_SHAPES.items()
+        ) and len(params) == len(CANONICAL_SHAPES)
+    except KeyError:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("mlp_fn", "chunk", "r", "dilate"))
 def _grid_sweep(params, pts, sigma_threshold, *, mlp_fn, chunk: int, r: int,
                 dilate: int):
@@ -98,7 +122,10 @@ def build_occupancy_grid(
     (~2M at 128^3 — tens of ms on a v5e).
     """
     if mlp_fn is None:
-        mlp_fn = _default_grid_mlp_fn()
+        # Students (any non-canonical ArchConfig member) sweep through the
+        # oracle — the fused kernel serves only the canonical shapes.
+        mlp_fn = (_default_grid_mlp_fn() if _params_canonical(params)
+                  else _oracle_grid_mlp_fn())
     chunk = min(chunk, resolution ** 3)  # don't pad a small sweep 64x
 
     lo, hi = float(aabb[0]), float(aabb[1])
