@@ -247,6 +247,15 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", os.environ["NERF_BENCH_PLATFORM"])
+    # Persistent compile cache shared with the tool scripts: the driver's
+    # end-of-round bench then reuses the sweep's compiled programs instead
+    # of paying ~30-90 s per program on the tunneled backend.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     try:
         _tpu_lock = _acquire_tpu_lock()  # noqa: F841 — held until exit
     except TimeoutError as e:

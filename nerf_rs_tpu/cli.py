@@ -575,6 +575,16 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if os.environ.get("NERF_NO_COMPILE_CACHE") != "1":
+        # Persistent compile cache (shared with bench/tools): repeated CLI
+        # invocations — convergence chunks, orbit sweeps, evaluate — reuse
+        # compiled programs across processes (~30-90 s each remotely).
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     parser = argparse.ArgumentParser(prog="nerf_rs_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -14,6 +14,12 @@ import jax
 # The environment's TPU plugin overrides JAX_PLATFORMS with its own default;
 # the config update below wins over that.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeated suite runs skip recompiles of the
+# (static-shape, cfg-keyed) render/train programs — minutes per run.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

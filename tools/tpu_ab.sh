@@ -7,6 +7,9 @@
 set -u
 LOG="${1:-/tmp/tpu_ab.jsonl}"
 cd "$(dirname "$0")/.."
+# Persistent XLA compile cache: the legs are fresh processes compiling
+# mostly identical programs (~30-90 s each on the tunneled backend).
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache_tpu}"
 
 # Reuse bench.py's daemon-thread device probe (single source of truth).
 probe() {

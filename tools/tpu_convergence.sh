@@ -21,6 +21,7 @@ CHUNK="${CONV_CHUNK:-2000}"
 # (two concurrent clients can wedge the tunnel). Chunks are sized to hold
 # the lock <=30 min.
 LOCK="${NERF_TPU_LOCK:-/tmp/nerf_tpu.lock}"
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache_tpu}"
 TPU="flock -w 1800 $LOCK"
 MAX_STEPS="${CONV_MAX_STEPS:-24000}"
 TARGET_DB="${CONV_TARGET_DB:-30.0}"
@@ -38,6 +39,7 @@ while [ "$steps" -lt "$MAX_STEPS" ]; do
   steps=$((steps + CHUNK))
   echo "=== train to step $steps ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
   $TPU timeout 1800 python -m nerf_rs_tpu train $TRAIN_ARGS \
+    --batch-rays "${CONV_BATCH:-16384}" \
     --steps "$steps" --checkpoint-dir "$CKPT" \
     --checkpoint-every 1000 --log-every 200 >> "$LOG" 2>&1
   rc=$?

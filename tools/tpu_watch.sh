@@ -9,6 +9,7 @@ cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/tpu_ab.jsonl}"
 STATUS="${2:-/tmp/tpu_watch.status}"
 INTERVAL="${TPU_WATCH_INTERVAL:-300}"
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache_tpu}"
 
 probe() {
   # flock -n: if another TPU client holds the lock, skip the probe — a
