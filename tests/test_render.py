@@ -254,3 +254,31 @@ def test_render_sharded_nondividing_ray_chunk(lego_params, golden):
     img_1 = render_image(lego_params["coarse"], lego_params["fine"],
                          cam, h, w, key, cfg)
     np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
+
+
+def test_sharded_render_with_accel_aabb_matches_single(lego_params, golden):
+    """The full accel stack (occupancy culling + AABB-clamped placement +
+    probe-refined ranges) under shard_map must equal the single-device
+    render bitwise — per-ray RNG streams and replicated grid make the
+    sharding invisible."""
+    from nerf_rs_tpu.accel import build_scene_grid
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+    from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
+    from nerf_rs_tpu.render import render_image
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=24, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=24 * 24 * 24, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cam = camera_from_golden(golden)
+    cfg = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=64,
+                       accel_sample_aabb=True, accel_aabb_probes=32,
+                       accel_coarse_capacity=1.0, accel_fine_capacity=1.0)
+    key = jax.random.key(9)
+    img_s = render_image_sharded(lego_params["coarse"], lego_params["fine"],
+                                 cam, 16, 16, key, cfg, grid=grid)
+    img_1 = render_image(lego_params["coarse"], lego_params["fine"],
+                         cam, 16, 16, key, cfg, grid=grid)
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
