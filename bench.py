@@ -339,7 +339,10 @@ def main() -> None:
         dims += [256, 128, 8, 4][len(dims):]
         arch = ArchConfig(width=dims[0], v_width=dims[1],
                           depth=dims[2], skip_at=dims[3])
-        if not arch.is_canonical:
+        from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
+
+        if impl == "pallas" and not supports_arch(tuple(dims)):
+            # Fused kernel serves the 128-aligned family; others go XLA.
             impl = "xla"
             cfg = cfg.replace(impl="xla")
         params_c = jax.device_put(init_nerf_params(jax.random.key(1), arch=arch))
@@ -358,9 +361,8 @@ def main() -> None:
             loaded = {"coarse": load_nerf_params(p / "coarse"),
                       "fine": load_nerf_params(p / "fine")}
         params_c, params_f = loaded["coarse"], loaded["fine"]
-        from nerf_rs_tpu.io.weights import CANONICAL_SHAPES
-        if any(tuple(params_c[l]["kernel"].shape) != s
-               for l, s in CANONICAL_SHAPES.items()) and impl == "pallas":
+        from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
+        if impl == "pallas" and not supports_arch(params_c):
             impl = "xla"
             cfg = cfg.replace(impl="xla")
     else:

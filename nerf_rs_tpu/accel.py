@@ -66,16 +66,10 @@ def _oracle_grid_mlp_fn():
     return fn
 
 
-def _params_canonical(params) -> bool:
-    from nerf_rs_tpu.io.weights import CANONICAL_SHAPES
+def _params_fused_ok(params) -> bool:
+    from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
 
-    try:
-        return all(
-            tuple(params[l]["kernel"].shape) == s
-            for l, s in CANONICAL_SHAPES.items()
-        ) and len(params) == len(CANONICAL_SHAPES)
-    except KeyError:
-        return False
+    return supports_arch(params)
 
 
 @functools.partial(jax.jit, static_argnames=("mlp_fn", "chunk", "r", "dilate"))
@@ -122,9 +116,9 @@ def build_occupancy_grid(
     (~2M at 128^3 — tens of ms on a v5e).
     """
     if mlp_fn is None:
-        # Students (any non-canonical ArchConfig member) sweep through the
-        # oracle — the fused kernel serves only the canonical shapes.
-        mlp_fn = (_default_grid_mlp_fn() if _params_canonical(params)
+        # The fused kernel serves the whole 128-aligned ArchConfig family;
+        # unaligned students sweep through the oracle.
+        mlp_fn = (_default_grid_mlp_fn() if _params_fused_ok(params)
                   else _oracle_grid_mlp_fn())
     chunk = min(chunk, resolution ** 3)  # don't pad a small sweep 64x
 

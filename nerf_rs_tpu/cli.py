@@ -272,11 +272,16 @@ def cmd_train(args) -> int:
     arch = ArchConfig(width=args.width, v_width=args.v_width,
                       depth=args.depth, skip_at=args.skip_at)
     impl = args.impl
-    if not arch.is_canonical and impl == "pallas":
-        # The fused kernel is specialized to the canonical shapes; student
-        # family members run on the XLA path (tiled fine at any width).
-        print(f"note: non-canonical arch {arch} — student runs impl='xla'")
-        impl = "xla"
+    if impl == "pallas":
+        from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
+
+        if not supports_arch((arch.width, arch.v_width, arch.depth,
+                              arch.skip_at)):
+            # The fused kernel serves the 128-aligned family; other widths
+            # run on the XLA path (tiled fine at any width).
+            print(f"note: arch {arch} is not 128-aligned — "
+                  "student runs impl='xla'")
+            impl = "xla"
     cfg = TrainConfig(
         batch_rays=args.batch_rays,
         n_steps=args.steps,

@@ -69,37 +69,107 @@ _DE = 3 + 6 * _DF             # 27
 _DOFF = 64                    # dir-encoding row offset in the enc buffer
 
 # --- weight blob layout: transposed (out, in) weights stacked on the
-# sublane axis, 256 lanes wide. Offsets are multiples of 16 so bf16
-# sublane slicing stays tile-aligned.
-_SLOTS = {
-    # K is always 128 or 256: lane slices at non-128 boundaries force Mosaic
-    # relayout copies (a K=64 dense0 measured SLOWER than a K=256 layer).
-    # Sub-width inputs are zero-padded in the weight columns instead, so
-    # e.g. dense0 consumes the full 128-row encode buffer (dir rows and
-    # padding rows hit zero columns).
-    "w0t": (0, _H),        # dense0^T  (256, 128)  cols 63:128 zero
-    "w1t": (256, _H),
-    "w2t": (512, _H),
-    "w3t": (768, _H),
-    "w4t": (1024, _H),
-    "w5at": (1280, _H),    # dense5^T skip rows (256, 128), cols 63:128 zero
-    "w5bt": (1536, _H),    # dense5^T rows for h4, K=256
-    "w6t": (1792, _H),
-    "w7t": (2048, _H),
-    "wbt": (2304, _H),     # bottleneck^T
-    "wvat": (2560, _VH),   # viewdirs^T rows for bottleneck, K=256
-    "wvbt": (2688, _VH),   # viewdirs^T dir rows at cols 64:91 of (128, 128)
-    "wst": (2816, 16),     # sigma head: alpha^T at row 3 (lands at out row 3)
-    "wrt": (2832, 16),     # rgb head: rgb^T at rows 0:3, K lanes 0:128
-}
-_BLOB_ROWS = 2848
+# sublane axis. Offsets are multiples of 16 so bf16 sublane slicing stays
+# tile-aligned. The layout is parametric over the ArchConfig family
+# (trunk width W, view width V, depth D, skip_at S) with the alignment
+# rule: K is always a multiple of 128 — lane slices at non-128 boundaries
+# force Mosaic relayout copies (a K=64 dense0 measured SLOWER than a
+# K=256 layer). Sub-width inputs are zero-padded in the weight columns
+# instead (e.g. dense0 consumes the full 128-row encode buffer; a V=64
+# view branch rides in a 128-row activation whose padded rows stay zero).
+import collections
+
+_Layout = collections.namedtuple(
+    "_Layout",
+    ["width", "v_width", "depth", "skip_at",  # TRUE arch dims
+     "wp", "vp",          # padded trunk/view widths (multiples of 128)
+     "lanes",             # blob lane width = max K
+     "slots",             # name -> (offset, rows, klanes)
+     "blob_rows", "aux_rows", "bias_cols",
+     "b_bneck", "b_view", "b_sigma", "b_rgb"],  # bias column indices
+)
+
+
+def infer_arch(params) -> Tuple[int, int, int, int]:
+    """(width, v_width, depth, skip_at) from a param pytree. skip_at is
+    detected from the one dense layer whose input exceeds the trunk width
+    (the encoded input re-concat, network.rs:210-211)."""
+    depth = sum(1 for k in params if k.startswith("dense"))
+    width = int(params["dense0"]["kernel"].shape[1])
+    v_width = int(params["viewdirs"]["kernel"].shape[1])
+    skip_at = depth - 1  # no skip found -> place sentinel past the loop
+    for i in range(1, depth):
+        if int(params[f"dense{i}"]["kernel"].shape[0]) > width:
+            skip_at = i - 1
+            break
+    return width, v_width, depth, skip_at
+
+
+def supports_arch(params_or_arch) -> bool:
+    """Can the fused kernel serve this family member? Requires the trunk
+    width to be a multiple of 128 (MXU lane alignment) and the canonical
+    L=(10,4) encodings (checked separately at op build)."""
+    if isinstance(params_or_arch, tuple):
+        w, v, d, s = params_or_arch
+    else:
+        try:
+            w, v, d, s = infer_arch(params_or_arch)
+        except (KeyError, AttributeError, IndexError):
+            return False
+    return (w % 128 == 0 and w >= 128 and v >= 16 and d >= 2
+            and 0 <= s < d)
+
+
+@functools.lru_cache(maxsize=None)
+def _layout(width: int, v_width: int, depth: int, skip_at: int) -> _Layout:
+    if not supports_arch((width, v_width, depth, skip_at)):
+        raise ValueError(
+            f"fused kernel needs trunk width % 128 == 0 (MXU lane "
+            f"alignment); arch ({width},{v_width},{depth},{skip_at}) must "
+            "run with impl='xla'")
+    wp = width                          # already a 128-multiple
+    vp = -(-v_width // LANES) * LANES   # pad view branch rows to 128
+    lanes = max(wp, vp, LANES)          # max K across slots (the skip
+    #                                     layer sums two matmuls, so K
+    #                                     never exceeds max(wp, 128))
+    slots = {}
+    off = 0
+
+    def add(name, rows, klanes):
+        nonlocal off
+        slots[name] = (off, rows, klanes)
+        off += rows
+
+    add("w0t", wp, LANES)               # dense0: K = encode buffer (128)
+    for i in range(1, depth):
+        if i == skip_at + 1:
+            add(f"w{i}at", wp, LANES)   # skip rows: K = encode buffer
+            add(f"w{i}bt", wp, wp)      # trunk rows
+        else:
+            add(f"w{i}t", wp, wp)
+    add("wbt", wp, wp)                  # bottleneck
+    add("wvat", vp, wp)                 # viewdirs rows for bottleneck
+    add("wvbt", vp, LANES)              # viewdirs dir rows (encode buffer)
+    add("wst", 16, wp)                  # sigma head: alpha^T at out row 3
+    add("wrt", 16, vp)                  # rgb head: rgb^T at out rows 0:3
+    bias_cols = depth + 4
+    return _Layout(width=width, v_width=v_width, depth=depth,
+                   skip_at=skip_at, wp=wp, vp=vp, lanes=lanes, slots=slots,
+                   blob_rows=off, aux_rows=LANES + max(wp, vp),
+                   bias_cols=bias_cols, b_bneck=depth, b_view=depth + 1,
+                   b_sigma=depth + 2, b_rgb=depth + 3)
+
+
+_CANONICAL_LAYOUT = _layout(_H, _VH, 8, 4)
 
 # --- aux blob (always f32): encode projection + bias table.
 _AUX_G_ROWS = LANES                       # rows 0:128, lanes 0:8 = G
-_AUX_B_OFF = LANES                        # rows 128:384, lanes 0:12 = biases
-_AUX_ROWS = LANES + _H                    # 384
-# bias columns (by layer index used in the kernel)
-_BIAS_COLS = 12  # dense0..7 -> 0..7, bottleneck -> 8, viewdirs -> 9,
+_AUX_B_OFF = LANES                        # rows 128:, lanes 0:bias_cols
+# Canonical-layout constants (kept for tests/back-compat):
+_BLOB_ROWS = _CANONICAL_LAYOUT.blob_rows  # 2848
+_AUX_ROWS = _CANONICAL_LAYOUT.aux_rows    # 384
+_BIAS_COLS = _CANONICAL_LAYOUT.bias_cols  # 12: dense0..7 -> 0..7,
+#                  bottleneck -> 8, viewdirs -> 9,
 #                  sigma head -> 10 (at row 3), rgb head -> 11 (rows 0:3)
 
 
@@ -138,74 +208,75 @@ def _row_selectors(shape):
 
 
 def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack the param pytree into (blob (2848, 256) dtype, aux (384, 256) f32).
+    """Pack the param pytree into (blob (rows, lanes) dtype, aux f32).
 
     The blob holds every weight transposed to (out, in); aux holds the
     encode projection and the bias table (column j = layer j's bias).
+    The layout is derived from the params' own architecture (any
+    128-aligned ArchConfig member); canonical lego packs to the original
+    (2848, 256) / (384, 256) blobs.
     """
     # Built with pure pad/transpose/concat — dynamic_update_slice / scatter
     # formulations measured ~70 ms on v5e for this same packing (tiny strided
     # scatters serialize); this version is sub-ms.
-    from nerf_rs_tpu.io.weights import CANONICAL_SHAPES
-
-    for layer, shape in CANONICAL_SHAPES.items():
-        got = tuple(params[layer]["kernel"].shape) if layer in params else None
-        if got != shape:
-            raise ValueError(
-                f"fused kernel is specialized to the canonical lego arch; "
-                f"{layer}.kernel is {got}, expected {shape} — run non-"
-                f"canonical ArchConfig members with impl='xla'")
+    L = _layout(*infer_arch(params))
     cdt = jnp.dtype(dtype)
     k = lambda name: jnp.asarray(params[name]["kernel"], jnp.float32)
     b = lambda name: jnp.asarray(params[name]["bias"], jnp.float32)
 
-    d5 = k("dense5")   # (63+256, 256), encoded-input rows FIRST (lib.rs:133-152)
-    vw = k("viewdirs")  # (256+27, 128), bottleneck rows FIRST
+    ds = k(f"dense{L.skip_at + 1}")  # (enc+W, W), encoded-input rows FIRST
+    #                                  (lib.rs:133-152)
+    vw = k("viewdirs")               # (W+27, V), bottleneck rows FIRST
 
     def slot(name, w_t):
-        off, rows = _SLOTS[name]
-        return jnp.pad(w_t, ((0, rows - w_t.shape[0]), (0, 256 - w_t.shape[1])))
+        off, rows, _ = L.slots[name]
+        return jnp.pad(w_t, ((0, rows - w_t.shape[0]),
+                             (0, L.lanes - w_t.shape[1])))
 
-    pieces = [
-        slot("w0t", k("dense0").T),
-        *[slot(f"w{i}t", k(f"dense{i}").T) for i in range(1, 5)],
-        slot("w5at", d5[:_XE].T),
-        slot("w5bt", d5[_XE:].T),
-        slot("w6t", k("dense6").T),
-        slot("w7t", k("dense7").T),
+    pieces = [slot("w0t", k("dense0").T)]
+    for i in range(1, L.depth):
+        if i == L.skip_at + 1:
+            pieces.append(slot(f"w{i}at", ds[:_XE].T))
+            pieces.append(slot(f"w{i}bt", ds[_XE:].T))
+        else:
+            pieces.append(slot(f"w{i}t", k(f"dense{i}").T))
+    pieces += [
         slot("wbt", k("bottleneck").T),
-        slot("wvat", vw[:_H].T),
+        slot("wvat", vw[:L.width].T),
         # dir-encoding rows land at input columns _DOFF:_DOFF+27 so the
         # matmul consumes the full 128-row encode buffer (K=128 aligned)
-        slot("wvbt", jnp.pad(vw[_H:].T, ((0, 0), (_DOFF, 0)))),
+        slot("wvbt", jnp.pad(vw[L.width:].T, ((0, 0), (_DOFF, 0)))),
         # heads: alpha lands at out row 3, rgb at out rows 0:2
         slot("wst", jnp.pad(k("alpha").T, ((3, 0), (0, 0)))),
         slot("wrt", k("rgb").T),
     ]
     blob = jnp.concatenate(pieces, axis=0).astype(cdt)
-    assert blob.shape == (_BLOB_ROWS, 256), blob.shape
+    assert blob.shape == (L.blob_rows, L.lanes), blob.shape
+
+    h_bias = L.aux_rows - _AUX_B_OFF
 
     def bias_col(v, top=0):
-        return jnp.pad(v, (top, _H - top - v.shape[0]))
+        return jnp.pad(v, (top, h_bias - top - v.shape[0]))
 
     bias_tab = jnp.stack(
-        [bias_col(b(f"dense{i}")) for i in range(8)]
+        [bias_col(b(f"dense{i}")) for i in range(L.depth)]
         + [bias_col(b("bottleneck")), bias_col(b("viewdirs")),
            bias_col(b("alpha"), top=3), bias_col(b("rgb"))],
         axis=1,
-    )  # (256, 12)
+    )  # (h_bias, bias_cols)
     aux = jnp.concatenate(
         [
-            jnp.pad(jnp.asarray(_encode_projection()), ((0, 0), (0, 256 - 8))),
-            jnp.pad(bias_tab, ((0, 0), (0, 256 - _BIAS_COLS))),
+            jnp.pad(jnp.asarray(_encode_projection()),
+                    ((0, 0), (0, L.lanes - 8))),
+            jnp.pad(bias_tab, ((0, 0), (0, L.lanes - L.bias_cols))),
         ],
         axis=0,
     )
-    assert aux.shape == (_AUX_ROWS, 256), aux.shape
+    assert aux.shape == (L.aux_rows, L.lanes), aux.shape
     return blob, aux
 
 
-def _kernel_body(cdt, sigma_only, fast_cos, interleave,
+def _kernel_body(L, cdt, sigma_only, fast_cos, interleave,
                  x_ref, blob_ref, aux_ref, out_ref, ws, wa, sems):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -221,15 +292,15 @@ def _kernel_body(cdt, sigma_only, fast_cos, interleave,
         # MXU-independent VPU work (encode/epilogues of one half can
         # overlap matmuls of the other).
         t = x_ref.shape[1] // 2
-        out_ref[:, 0:t] = _mlp_chain(cdt, sigma_only, fast_cos,
+        out_ref[:, 0:t] = _mlp_chain(L, cdt, sigma_only, fast_cos,
                                      x_ref[:, 0:t], ws, wa)
-        out_ref[:, t:2 * t] = _mlp_chain(cdt, sigma_only, fast_cos,
+        out_ref[:, t:2 * t] = _mlp_chain(L, cdt, sigma_only, fast_cos,
                                          x_ref[:, t:2 * t], ws, wa)
     else:
-        out_ref[:] = _mlp_chain(cdt, sigma_only, fast_cos, x_ref[:], ws, wa)
+        out_ref[:] = _mlp_chain(L, cdt, sigma_only, fast_cos, x_ref[:], ws, wa)
 
 
-def _mlp_chain(cdt, sigma_only, fast_cos, x, ws, wa):
+def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa):
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST
     prec = hi if cdt == f32 else None
@@ -246,16 +317,16 @@ def _mlp_chain(cdt, sigma_only, fast_cos, x, ws, wa):
         tr = jnp.where(is_sin, jnp.sin(raw), jnp.cos(raw))
         enc = jnp.where(ident, raw, tr).astype(cdt)
 
-    def lay(name, h, klanes, bias_col, relu=True):
-        off, rows = _SLOTS[name]
+    def lay(name, h, bias_col, relu=True):
+        off, rows, klanes = L.slots[name]
         acc = jnp.dot(ws[off:off + rows, 0:klanes], h,
                       preferred_element_type=f32, precision=prec)
         acc = acc + wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
         return jnp.maximum(acc, 0.0) if relu else acc
 
-    def lay2(na, ha, ka, nb, hb, kb, bias_col, relu=True):
-        offa, rows = _SLOTS[na]
-        offb, _ = _SLOTS[nb]
+    def lay2(na, ha, nb, hb, bias_col, relu=True):
+        offa, rows, ka = L.slots[na]
+        offb, _, kb = L.slots[nb]
         acc = jnp.dot(ws[offa:offa + rows, 0:ka], ha,
                       preferred_element_type=f32, precision=prec)
         acc = acc + jnp.dot(ws[offb:offb + rows, 0:kb], hb,
@@ -263,26 +334,26 @@ def _mlp_chain(cdt, sigma_only, fast_cos, x, ws, wa):
         acc = acc + wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
         return jnp.maximum(acc, 0.0) if relu else acc
 
-    h = lay("w0t", enc, 128, 0).astype(cdt)
-    for i in range(1, 5):
-        h = lay(f"w{i}t", h, 256, i).astype(cdt)
-    h = lay2("w5at", enc, 128, "w5bt", h, 256, 5).astype(cdt)   # skip concat
-    h = lay("w6t", h, 256, 6).astype(cdt)
-    h8 = lay("w7t", h, 256, 7).astype(cdt)
+    h = lay("w0t", enc, 0).astype(cdt)
+    for i in range(1, L.depth):
+        if i == L.skip_at + 1:  # skip concat (network.rs:210-211)
+            h = lay2(f"w{i}at", enc, f"w{i}bt", h, i).astype(cdt)
+        else:
+            h = lay(f"w{i}t", h, i).astype(cdt)
 
-    sig8 = lay("wst", h8, 256, 10)[0:8]             # (8, T), row 3 = sigma
+    sig8 = lay("wst", h, L.b_sigma)[0:8]            # (8, T), row 3 = sigma
     row = jax.lax.broadcasted_iota(jnp.int32, sig8.shape, 0)
 
     if sigma_only:
         return jnp.where(row == 3, sig8, 0.0)
 
-    bneck = lay("wbt", h8, 256, 8, relu=False).astype(cdt)
-    hv = lay2("wvat", bneck, 256, "wvbt", enc, 128, 9).astype(cdt)
-    rgb8 = jax.nn.sigmoid(lay("wrt", hv, 128, 11, relu=False)[0:8])  # rows 0:2
+    bneck = lay("wbt", h, L.b_bneck, relu=False).astype(cdt)
+    hv = lay2("wvat", bneck, "wvbt", enc, L.b_view).astype(cdt)
+    rgb8 = jax.nn.sigmoid(lay("wrt", hv, L.b_rgb, relu=False)[0:8])  # rows 0:2
     return jnp.where(row == 3, sig8, jnp.where(row < 3, rgb8, 0.0))
 
 
-def _kernel_bwd(cdt, fast_cos,
+def _kernel_bwd(L, cdt, fast_cos,
                 x_ref, g_ref, blob_ref, aux_ref,
                 dx_ref, dblob_ref, daux_ref, ws, wa, sems):
     """Fused backward: recompute the forward per tile (activations never
@@ -320,14 +391,14 @@ def _kernel_bwd(cdt, fast_cos,
     denc_draw = jnp.where(ident, 1.0, dtr)          # d(enc)/d(raw), f32
 
     def w(name):
-        off, rows = _SLOTS[name]
+        off, rows, _ = L.slots[name]
         return ws[off:off + rows]
 
     def bias(col, rows):
         return wa[_AUX_B_OFF:_AUX_B_OFF + rows, col:col + 1]
 
     def fl(name, h, bias_col, relu=True, add=None):
-        rows = _SLOTS[name][1]
+        rows = L.slots[name][1]
         acc = jnp.dot(w(name)[:, : h.shape[0]], h,
                       preferred_element_type=f32, precision=prec)
         if add is not None:
@@ -339,18 +410,21 @@ def _kernel_bwd(cdt, fast_cos,
         return jnp.dot(w(name)[:, : h.shape[0]], h,
                        preferred_element_type=f32, precision=prec)
 
-    h0 = fl("w0t", enc, 0).astype(cdt)
-    h1 = fl("w1t", h0, 1).astype(cdt)
-    h2 = fl("w2t", h1, 2).astype(cdt)
-    h3 = fl("w3t", h2, 3).astype(cdt)
-    h4 = fl("w4t", h3, 4).astype(cdt)
-    h5 = fl("w5bt", h4, 5, add=mm("w5at", enc)).astype(cdt)
-    h6 = fl("w6t", h5, 6).astype(cdt)
-    h7 = fl("w7t", h6, 7).astype(cdt)
-    s8 = fl("wst", h7, 10, relu=False)               # (16, T) f32
-    bn = fl("wbt", h7, 8, relu=False).astype(cdt)
-    hv = fl("wvat", bn, 9, add=mm("wvbt", enc)).astype(cdt)
-    r8 = fl("wrt", hv, 11, relu=False)               # (16, T) f32
+    # Trunk recompute, keeping every layer's OUTPUT (hs[i] = dense{i} out;
+    # the input to dense{i} is hs[i-1]) — all VMEM-resident.
+    D, S = L.depth, L.skip_at
+    hs = [fl("w0t", enc, 0).astype(cdt)]
+    for i in range(1, D):
+        if i == S + 1:
+            hs.append(fl(f"w{i}bt", hs[-1], i,
+                         add=mm(f"w{i}at", enc)).astype(cdt))
+        else:
+            hs.append(fl(f"w{i}t", hs[-1], i).astype(cdt))
+    h_last = hs[-1]
+    s8 = fl("wst", h_last, L.b_sigma, relu=False)    # (16, T) f32
+    bn = fl("wbt", h_last, L.b_bneck, relu=False).astype(cdt)
+    hv = fl("wvat", bn, L.b_view, add=mm("wvbt", enc)).astype(cdt)
+    r8 = fl("wrt", hv, L.b_rgb, relu=False)          # (16, T) f32
 
     # --- backward ---
     gg = g_ref[:]                                    # (8, T) f32
@@ -363,7 +437,7 @@ def _kernel_bwd(cdt, fast_cos,
     ds8 = (sig16 * (s8 > 0)).astype(cdt)             # d(pre-relu sigma), row 3
 
     def acc_w(name, dh, hin):
-        off, rows = _SLOTS[name]
+        off, rows, _ = L.slots[name]
         kl = hin.shape[0]
         dw = jax.lax.dot_general(dh, hin, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32, precision=prec)
@@ -377,58 +451,56 @@ def _kernel_bwd(cdt, fast_cos,
         )
 
     def bwd_in(name, dh):
-        # (rows, 256-lane weight)^T @ dh -> gradient w.r.t. the layer input
+        # (rows, lanes weight)^T @ dh -> gradient w.r.t. the layer input
         return jax.lax.dot_general(w(name), dh, (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32, precision=prec)
 
     acc_w("wrt", dr8, hv)
-    acc_b(11, dr8)
-    dhv = (bwd_in("wrt", dr8)[:_VH] * (hv > 0)).astype(cdt)
+    acc_b(L.b_rgb, dr8)
+    dhv = (bwd_in("wrt", dr8)[:L.vp] * (hv > 0)).astype(cdt)
     acc_w("wvat", dhv, bn)
     acc_w("wvbt", dhv, enc)
-    acc_b(9, dhv)
+    acc_b(L.b_view, dhv)
     dbn = bwd_in("wvat", dhv).astype(cdt)            # bottleneck: no relu
     de = bwd_in("wvbt", dhv)[:LANES]                 # f32 (128, T)
-    acc_w("wbt", dbn, h7)
-    acc_b(8, dbn)
-    acc_w("wst", ds8, h7)
-    acc_b(10, ds8)
-    dh7 = ((bwd_in("wbt", dbn) + bwd_in("wst", ds8)) * (h7 > 0)).astype(cdt)
-    acc_w("w7t", dh7, h6)
-    acc_b(7, dh7)
-    dh6 = (bwd_in("w7t", dh7) * (h6 > 0)).astype(cdt)
-    acc_w("w6t", dh6, h5)
-    acc_b(6, dh6)
-    dh5 = (bwd_in("w6t", dh6) * (h5 > 0)).astype(cdt)
-    acc_w("w5bt", dh5, h4)
-    acc_w("w5at", dh5, enc)
-    acc_b(5, dh5)
-    de = de + bwd_in("w5at", dh5)[:LANES]
-    dh = (bwd_in("w5bt", dh5) * (h4 > 0)).astype(cdt)
-    for i, hin in ((4, h3), (3, h2), (2, h1)):
-        acc_w(f"w{i}t", dh, hin)
-        acc_b(i, dh)
-        dh = (bwd_in(f"w{i}t", dh) * (hin > 0)).astype(cdt)
-    acc_w("w1t", dh, h0)
-    acc_b(1, dh)
-    dh0 = (bwd_in("w1t", dh) * (h0 > 0)).astype(cdt)
-    acc_w("w0t", dh0, enc)
-    acc_b(0, dh0)
-    de = de + bwd_in("w0t", dh0)[:LANES]
+    acc_w("wbt", dbn, h_last)
+    acc_b(L.b_bneck, dbn)
+    acc_w("wst", ds8, h_last)
+    acc_b(L.b_sigma, ds8)
+    dh = ((bwd_in("wbt", dbn) + bwd_in("wst", ds8))
+          * (h_last > 0)).astype(cdt)
+    for i in range(D - 1, 0, -1):
+        hin = hs[i - 1]
+        if i == S + 1:
+            acc_w(f"w{i}bt", dh, hin)
+            acc_w(f"w{i}at", dh, enc)
+            acc_b(i, dh)
+            de = de + bwd_in(f"w{i}at", dh)[:LANES]
+            dh = (bwd_in(f"w{i}bt", dh) * (hin > 0)).astype(cdt)
+        else:
+            acc_w(f"w{i}t", dh, hin)
+            acc_b(i, dh)
+            dh = (bwd_in(f"w{i}t", dh) * (hin > 0)).astype(cdt)
+    acc_w("w0t", dh, enc)
+    acc_b(0, dh)
+    de = de + bwd_in("w0t", dh)[:LANES]
 
     draw = de * denc_draw
     dx_ref[:] = jax.lax.dot_general(gproj, draw, (((0,), (0,)), ((), ())),
                                     preferred_element_type=f32, precision=hi)
 
 
-def _backward_t(blob, aux, x, g, dtype, tile, fast_cos, interpret):
+def _backward_t(blob, aux, x, g, dtype, tile, fast_cos, interpret,
+                layout: _Layout = None):
     """x, g: (8, N) f32 -> (dx (8, N) f32, dblob, daux f32 grads)."""
+    L = layout or _CANONICAL_LAYOUT
     cdt = jnp.dtype(dtype)
     n = x.shape[1]
     grid = n // tile
     data_spec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     full_out = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel_bwd, cdt, fast_cos and cdt != jnp.float32)
+    kernel = functools.partial(_kernel_bwd, L, cdt,
+                               fast_cos and cdt != jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -439,35 +511,39 @@ def _backward_t(blob, aux, x, g, dtype, tile, fast_cos, interpret):
         ],
         out_specs=(
             data_spec,
-            full_out((_BLOB_ROWS, 256)),
-            full_out((_AUX_ROWS, 256)),
+            full_out((L.blob_rows, L.lanes)),
+            full_out((L.aux_rows, L.lanes)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((8, n), jnp.float32),
-            jax.ShapeDtypeStruct((_BLOB_ROWS, 256), jnp.float32),
-            jax.ShapeDtypeStruct((_AUX_ROWS, 256), jnp.float32),
+            jax.ShapeDtypeStruct((L.blob_rows, L.lanes), jnp.float32),
+            jax.ShapeDtypeStruct((L.aux_rows, L.lanes), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_BLOB_ROWS, 256), cdt),
-            pltpu.VMEM((_AUX_ROWS, 256), jnp.float32),
+            pltpu.VMEM((L.blob_rows, L.lanes), cdt),
+            pltpu.VMEM((L.aux_rows, L.lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=3 * _FLOPS_FULL * n,
-            bytes_accessed=n * 8 * 16 + 2 * _BLOB_ROWS * 256 * 4,
+            flops=3 * _flops(L, sigma_only=False) * n,
+            bytes_accessed=n * 8 * 16 + 2 * L.blob_rows * L.lanes * 4,
             transcendentals=n * LANES,
         ),
         interpret=interpret,
     )(x, g, blob, aux)
 
 
-def unpack_grads(dblob: jnp.ndarray, daux: jnp.ndarray):
+def unpack_grads(dblob: jnp.ndarray, daux: jnp.ndarray,
+                 layout: _Layout = None):
     """Map packed blob/aux gradients back to the param-pytree layout."""
+    L = layout or _CANONICAL_LAYOUT
+    W, V, D, S = L.width, L.v_width, L.depth, L.skip_at
+
     def g(name):
-        off, rows = _SLOTS[name]
+        off, rows, _ = L.slots[name]
         return dblob[off:off + rows]
 
     bt = daux[_AUX_B_OFF:]
@@ -475,24 +551,27 @@ def unpack_grads(dblob: jnp.ndarray, daux: jnp.ndarray):
     def gb(col, n, top=0):
         return bt[top:top + n, col]
 
-    out = {f"dense{i}": {"kernel": g(f"w{i}t")[:, :_H].T, "bias": gb(i, _H)}
-           for i in range(1, 5)}
-    out["dense0"] = {"kernel": g("w0t")[:, :_XE].T, "bias": gb(0, _H)}
-    out["dense5"] = {
-        "kernel": jnp.concatenate([g("w5at")[:, :_XE].T, g("w5bt")[:, :_H].T], axis=0),
-        "bias": gb(5, _H),
-    }
-    out["dense6"] = {"kernel": g("w6t")[:, :_H].T, "bias": gb(6, _H)}
-    out["dense7"] = {"kernel": g("w7t")[:, :_H].T, "bias": gb(7, _H)}
-    out["bottleneck"] = {"kernel": g("wbt")[:, :_H].T, "bias": gb(8, _H)}
+    out = {"dense0": {"kernel": g("w0t")[:, :_XE].T, "bias": gb(0, W)}}
+    for i in range(1, D):
+        if i == S + 1:
+            out[f"dense{i}"] = {
+                "kernel": jnp.concatenate(
+                    [g(f"w{i}at")[:, :_XE].T, g(f"w{i}bt")[:, :W].T], axis=0),
+                "bias": gb(i, W),
+            }
+        else:
+            out[f"dense{i}"] = {"kernel": g(f"w{i}t")[:, :W].T,
+                                "bias": gb(i, W)}
+    out["bottleneck"] = {"kernel": g("wbt")[:, :W].T, "bias": gb(L.b_bneck, W)}
     out["viewdirs"] = {
         "kernel": jnp.concatenate(
-            [g("wvat")[:, :_H].T, g("wvbt")[:, _DOFF:_DOFF + _DE].T], axis=0
+            [g("wvat")[:V, :W].T, g("wvbt")[:V, _DOFF:_DOFF + _DE].T], axis=0
         ),
-        "bias": gb(9, _VH),
+        "bias": gb(L.b_view, V),
     }
-    out["alpha"] = {"kernel": g("wst")[3, :_H][:, None], "bias": gb(10, 1, top=3)}
-    out["rgb"] = {"kernel": g("wrt")[0:3, :_VH].T, "bias": gb(11, 3)}
+    out["alpha"] = {"kernel": g("wst")[3, :W][:, None],
+                    "bias": gb(L.b_sigma, 1, top=3)}
+    out["rgb"] = {"kernel": g("wrt")[0:3, :V].T, "bias": gb(L.b_rgb, 3)}
     return out
 
 
@@ -507,30 +586,38 @@ def _reduce_to_shape(x: jnp.ndarray, shape) -> jnp.ndarray:
     return x
 
 
-# FLOPs per sample (batch column) for the cost model, full network.
-_FLOPS_FULL = 2 * (
-    LANES * 8                 # encode projection
-    + 2 * _H * 64             # w0t, w5at
-    + 8 * _H * _H             # w1-4, w5b, w6, w7, wb
-    + 16 * _H                 # sigma head
-    + _VH * _H + _VH * 32     # wvat, wvbt
-    + 16 * _VH                # rgb head
-)
-_FLOPS_SIGMA = 2 * (LANES * 8 + 2 * _H * 64 + 7 * _H * _H + 16 * _H)
+def _flops(L: _Layout, sigma_only: bool) -> int:
+    """MXU FLOPs per sample (batch column) for the cost model: 2*K*rows
+    summed over the slots actually used (sigma-only skips the color
+    branch). True (unpadded) K values: encode consumers see 64/32 useful
+    lanes of the 128-row buffer."""
+    trunk = 2 * (LANES * 8 + 2 * L.wp * 64 + 16 * L.wp
+                 + (L.depth - 2) * L.wp * L.wp + L.wp * L.wp)  # +skip b
+    if sigma_only:
+        return trunk
+    return trunk + 2 * (L.wp * L.wp                    # bottleneck
+                        + L.vp * L.wp + L.vp * 32      # wvat, wvbt
+                        + 16 * L.vp)                   # rgb head
+
+
+# Canonical-layout constants (kept for back-compat / docs):
+_FLOPS_FULL = _flops(_CANONICAL_LAYOUT, False)
+_FLOPS_SIGMA = _flops(_CANONICAL_LAYOUT, True)
 
 
 def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
-               interleave=False):
+               interleave=False, layout: _Layout = None):
     """x: (8, N) f32, N a multiple of ``tile`` -> (8, N) f32 out
     [rows 0-2 rgb, row 3 sigma]."""
+    L = layout or _CANONICAL_LAYOUT
     cdt = jnp.dtype(dtype)
     n = x.shape[1]
     grid = n // tile
     interleave = interleave and tile % 256 == 0
     data_spec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel_body, cdt, sigma_only,
+    kernel = functools.partial(_kernel_body, L, cdt, sigma_only,
                                fast_cos and cdt != jnp.float32, interleave)
-    flops = (_FLOPS_SIGMA if sigma_only else _FLOPS_FULL) * n
+    flops = _flops(L, sigma_only) * n
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -542,8 +629,8 @@ def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
         out_specs=data_spec,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_BLOB_ROWS, 256), cdt),
-            pltpu.VMEM((_AUX_ROWS, 256), jnp.float32),
+            pltpu.VMEM((L.blob_rows, L.lanes), cdt),
+            pltpu.VMEM((L.aux_rows, L.lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -551,7 +638,7 @@ def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=n * 8 * 8 + _BLOB_ROWS * 256 * cdt.itemsize,
+            bytes_accessed=n * 8 * 8 + L.blob_rows * L.lanes * cdt.itemsize,
             transcendentals=n * LANES,
         ),
         interpret=interpret,
@@ -567,7 +654,7 @@ def _is_tpu() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool,
-             interleave: bool):
+             interleave: bool, arch: Tuple[int, int, int, int] = (_H, _VH, 8, 4)):
     if (x_freqs, d_freqs) != (_XF, _DF):
         raise NotImplementedError(
             f"fused kernel is specialized to L=({_XF},{_DF}) encodings, "
@@ -578,6 +665,7 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         # a 128-multiple and would otherwise fail mid-trace.
         raise ValueError(f"tile must be a positive multiple of {LANES}, "
                          f"got {tile}")
+    layout = _layout(*arch)   # raises ValueError for unsupported archs
     interpret = not _is_tpu()
 
     def pack_x(points, viewdirs):
@@ -596,7 +684,7 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         x, n, t, batch_shape = pack_x(points, viewdirs)
         blob, aux = pack_params(params, dtype)
         out = _forward_t(blob, aux, x, dtype, t, sigma_only, True, interpret,
-                         interleave=interleave)
+                         interleave=interleave, layout=layout)
         sigma = out[3, :n].reshape(batch_shape)
         rgb = out[0:3, :n].T.reshape(*batch_shape, 3)
         return rgb, sigma
@@ -631,8 +719,9 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         # the gradients. n_pad is always a multiple of 128.
         bt = next(b for b in (512, 256, 128) if n_pad % b == 0)
         blob, aux = pack_params(params, dtype)
-        dx, dblob, daux = _backward_t(blob, aux, x, g8, dtype, bt, True, interpret)
-        dparams = unpack_grads(dblob, daux)
+        dx, dblob, daux = _backward_t(blob, aux, x, g8, dtype, bt, True,
+                                      interpret, layout=layout)
+        dparams = unpack_grads(dblob, daux, layout=layout)
         dpoints = dx[0:3, :n].T.reshape(*batch_shape, 3)
         dvd_full = dx[3:6, :n].T.reshape(*batch_shape, 3)
         dviewdirs = _reduce_to_shape(dvd_full, viewdirs.shape)
@@ -660,6 +749,12 @@ def fused_nerf_mlp(
     ``sigma_only`` the rgb output is zeros and the color branch is
     skipped (the coarse pass discards colors, lib.rs:404).
 
+    Serves the whole 128-aligned ArchConfig family — the architecture is
+    inferred from the params (infer_arch) and the blob layout, kernel
+    chain, and backward specialize to it at trace time. Unaligned archs
+    (width % 128 != 0) raise ValueError; gate with supports_arch and fall
+    back to impl='xla'.
+
     $NERF_FUSED_INTERLEAVE=1 (A/B flag, PLAN.md item 3) splits each
     forward tile into two independent chains so Mosaic can overlap one
     half's VPU epilogues with the other's MXU matmuls; read per call so
@@ -673,5 +768,5 @@ def fused_nerf_mlp(
     if tile_env:
         tile = int(tile_env)
     op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only),
-                  interleave)
+                  interleave, infer_arch(params))
     return op(params, points, viewdirs)

@@ -84,12 +84,47 @@ def test_validate_param_chain_rejects_inconsistency():
         validate_param_chain(bad)
 
 
-def test_fused_kernel_rejects_student():
-    from nerf_rs_tpu.ops.kernels.fused_mlp import pack_params
+def test_fused_kernel_serves_aligned_family_rejects_unaligned():
+    """The fused kernel generalizes over the 128-aligned family: the
+    width-128 student packs and matches the oracle (fwd + grads); the
+    64-wide deep student is unaligned and must reject cleanly."""
+    from nerf_rs_tpu.ops.kernels.fused_mlp import (
+        fused_nerf_mlp, infer_arch, pack_params, supports_arch,
+    )
 
     params = init_nerf_params(jax.random.key(0), arch=STUDENT)
-    with pytest.raises(ValueError, match="canonical"):
-        pack_params(params, jnp.float32)
+    assert infer_arch(params) == (128, 64, 8, 4)
+    assert supports_arch(params)
+    pack_params(params, jnp.float32)   # packs without error
+
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, (200, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(200, 3)).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    r0, s0 = nerf_mlp(params, pts, dirs)
+    r1, s1 = fused_nerf_mlp(params, pts, dirs, dtype="float32", tile=128)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=2e-5)
+
+    def loss(fn):
+        def f(p):
+            r, s = fn(p, pts, dirs)
+            return jnp.sum(r ** 2) + jnp.sum(jnp.sin(s))
+        return f
+
+    go = jax.grad(loss(nerf_mlp))(params)
+    gf = jax.grad(loss(lambda p, x, d: fused_nerf_mlp(
+        p, x, d, dtype="float32", tile=128)))(params)
+    for lo, lf in zip(jax.tree_util.tree_leaves(go),
+                      jax.tree_util.tree_leaves(gf)):
+        scale = float(jnp.abs(lo).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(lf) / scale,
+                                   np.asarray(lo) / scale, atol=5e-6)
+
+    unaligned = init_nerf_params(jax.random.key(0), arch=DEEP_STUDENT)
+    assert not supports_arch(unaligned)
+    with pytest.raises(ValueError, match="128"):
+        pack_params(unaligned, jnp.float32)
 
 
 def test_student_train_step_runs():
