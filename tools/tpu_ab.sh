@@ -52,8 +52,10 @@ run accel_800           NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
 # Winner combos
 run accel_interleave    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_FUSED_INTERLEAVE=1
 run accel_psampling     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_SAMPLING=pallas
-# Train mode
+# Train mode (train_xla = XLA-autodiff baseline for the fused custom-VJP
+# backward: the number that justifies the backward kernel's existence)
 run train               NERF_BENCH_MODE=train
+run train_xla           NERF_BENCH_MODE=train NERF_BENCH_IMPL=xla
 run train_accel         NERF_BENCH_MODE=train NERF_BENCH_ACCEL=1
 # Frontier: rays/s-vs-PSNR curve (docs/PERF.md decision table).
 # Denser grid (finer empty-space test -> fewer false-occupied cells):

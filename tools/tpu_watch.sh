@@ -34,7 +34,9 @@ while true; do
         bash tools/tpu_convergence.sh /tmp/tpu_student >> "$STATUS" 2>&1
       echo "$(date +%FT%T) student distill finished (rc=$?)" >> "$STATUS"
       if [ -d /tmp/tpu_student/exported ]; then
-        NERF_BENCH_WEIGHTS=/tmp/tpu_student/exported NERF_BENCH_IMPL=xla \
+        # impl resolves itself: the fused kernel serves 128-aligned student
+        # archs, bench falls back to xla only for unaligned ones.
+        NERF_BENCH_WEIGHTS=/tmp/tpu_student/exported \
           NERF_BENCH_SIZE=800 timeout 1800 python bench.py >> "$LOG" 2>>"$STATUS"
         echo "$(date +%FT%T) trained-student bench appended to $LOG" >> "$STATUS"
       fi
