@@ -128,10 +128,12 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
     if accel is None:
         # "auto" (the default) intends the accel path in render mode (error
         # records during an outage are named for the config that would have
-        # run) but means OFF in train mode (no PSNR guard there).
+        # run) but means OFF in train mode (no PSNR guard) and in student
+        # (NERF_BENCH_ARCH) runs (random weights — main forces accel off),
+        # so error records join the same metric series as success records.
         env = os.environ.get("NERF_BENCH_ACCEL", "auto")
         off = ("0", "", "false", "auto") if mode == "train" else ("0", "", "false")
-        accel = env not in off
+        accel = env not in off and not os.environ.get("NERF_BENCH_ARCH")
     if sampling is None:
         sampling = os.environ.get("NERF_BENCH_SAMPLING", "xla")
     nc, nf = _samples()
@@ -139,8 +141,17 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
     if accel:
         res = _accel_res()
         accel_tag = "+accel" if res == 128 else f"+accel{res}"
+        # Every accel tuning knob lands in the name: differently-configured
+        # runs must not alias one metric series (this string is the join key
+        # for bench history).
+        if os.environ.get("NERF_BENCH_ACCEL_T"):
+            accel_tag += f"+t{os.environ['NERF_BENCH_ACCEL_T']}"
+        if os.environ.get("NERF_BENCH_ACCEL_SLACK"):
+            accel_tag += f"+slack{os.environ['NERF_BENCH_ACCEL_SLACK']}"
         if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
             accel_tag += "+aabb"
+            if os.environ.get("NERF_BENCH_AABB_PROBES"):
+                accel_tag += f"+probes{os.environ['NERF_BENCH_AABB_PROBES']}"
     suffix = (f"{impl}/{dtype}" + accel_tag
               + ("+psampling" if sampling == "pallas" else ""))
     if os.environ.get("NERF_BENCH_ARCH"):

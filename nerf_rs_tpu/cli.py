@@ -62,6 +62,11 @@ def cmd_render(args) -> int:
     print(f"Rendering {args.width}x{args.height} with {cfg.n_coarse} coarse and "
           f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
     grid = None
+    if getattr(args, "accel_aabb", False) and not args.accel:
+        # AABB clamping is meaningless without the grid — a silent
+        # uniform-placement render would misattribute results to the clamp.
+        print("note: --accel-aabb implies --accel")
+        args.accel = True
     if args.accel:
         from nerf_rs_tpu.accel import (
             build_scene_grid, calibrate_capacities, suggest_capacities,
@@ -299,7 +304,7 @@ def cmd_train(args) -> int:
     if args.checkpoint_dir:
         ckpt = latest_checkpoint(args.checkpoint_dir)
         if ckpt is not None:
-            from nerf_rs_tpu.io.checkpoint import restore_params
+            from nerf_rs_tpu.io.checkpoint import checkpoint_kernel_shapes
             from nerf_rs_tpu.models.mlp import arch_shapes
             from nerf_rs_tpu.parallel.mesh import replicate
 
@@ -308,10 +313,9 @@ def cmd_train(args) -> int:
             # checkpoint with different layer widths would silently ignore
             # the --width/--v-width flags (and a depth mismatch dies with an
             # opaque orbax structure error). Fail with the actual archs.
-            saved, _ = restore_params(ckpt)
+            # Metadata-only read — no double restore of the array data.
             want = arch_shapes(arch)
-            got = {l: tuple(np.asarray(saved["coarse"][l]["kernel"]).shape)
-                   for l in saved["coarse"]}
+            got = checkpoint_kernel_shapes(ckpt)
             if got != want:
                 sys.exit(
                     f"error: checkpoint {ckpt} holds a different architecture "

@@ -55,6 +55,19 @@ def restore_checkpoint(path, template):
     return restored
 
 
+def checkpoint_kernel_shapes(path):
+    """{layer: kernel shape} of a checkpoint's coarse net WITHOUT reading
+    array data (orbax metadata only) — the cheap way to detect an
+    architecture mismatch before a full templated restore."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        md = ckptr.metadata(Path(path).absolute())
+    tree = md.item_metadata if hasattr(md, "item_metadata") else md
+    return {layer: tuple(leaf["kernel"].shape)
+            for layer, leaf in tree["params"]["coarse"].items()}
+
+
 def restore_params(path):
     """Restore only ``(params, step)`` from a checkpoint, template-free.
 

@@ -169,6 +169,11 @@ def load_nerf_params(
         }
     if raw:
         raise ValueError(f"unused parameters left after load: {sorted(raw)}")
+    # Fail at LOAD time, not as an opaque KeyError deep inside jit tracing:
+    # the layer list is derived from whatever shapes.txt names (any
+    # ArchConfig member), so a directory missing a head or a dense layer
+    # would otherwise assemble "successfully".
+    validate_param_chain(params)
     if device_put:
         import jax
 

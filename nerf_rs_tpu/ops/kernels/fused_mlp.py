@@ -224,8 +224,12 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     k = lambda name: jnp.asarray(params[name]["kernel"], jnp.float32)
     b = lambda name: jnp.asarray(params[name]["bias"], jnp.float32)
 
-    ds = k(f"dense{L.skip_at + 1}")  # (enc+W, W), encoded-input rows FIRST
-    #                                  (lib.rs:133-152)
+    # Skip layer (if any): skip_at == depth-1 is the no-skip sentinel
+    # (infer_arch found no layer consuming the re-concat), so dense{D}
+    # does not exist and no skip slots were laid out.
+    if L.skip_at + 1 < L.depth:
+        ds = k(f"dense{L.skip_at + 1}")  # (enc+W, W), encoded-input rows
+        #                                  FIRST (lib.rs:133-152)
     vw = k("viewdirs")               # (W+27, V), bottleneck rows FIRST
 
     def slot(name, w_t):

@@ -49,9 +49,16 @@ _BIG = np.float32(3.4e38)
 
 def supported(nc: int, nf: int) -> bool:
     """The kernel handles power-of-two sample counts whose packed row
-    (t | sigma | u -> 2*nc+nf lanes) is lane-aligned."""
+    (t | sigma | u -> 2*nc+nf lanes) is lane-aligned AND a power of two —
+    the bitonic network's merge stages (lane & k masks, k doubling to the
+    full width) are only a sorting network at power-of-two widths; e.g.
+    (64, 256) packs to 384 lanes, which is 128-aligned but would leave the
+    final merge stage missing and pltpu.roll wrapping mod 384 -> silently
+    unsorted output."""
     pow2 = lambda v: v > 0 and (v & (v - 1)) == 0  # noqa: E731
-    return pow2(nc) and pow2(nf) and nc >= 8 and (2 * nc + nf) % 128 == 0
+    lanes = 2 * nc + nf
+    return (pow2(nc) and pow2(nf) and nc >= 8
+            and lanes % 128 == 0 and pow2(lanes))
 
 
 def _roll(x, shift, lanes):

@@ -83,6 +83,34 @@ def _mlp_culled(mlp, params, pts, dirs_b, mask, capacity: int, sigma_only: bool)
     return rgb.reshape(*batch, 3), sigma.reshape(batch), n_live
 
 
+@jax.custom_vjp
+def _reattach_coarse_grads(t_f: jnp.ndarray, t_c: jnp.ndarray) -> jnp.ndarray:
+    """Identity on the fused-resample output that routes d/dt_c.
+
+    Each t_c value passes through the kernel's merge+sort unchanged, so
+    re-attaching gradients is a value-preserving assignment: in the
+    backward, each t_c's cotangent is gathered from its sorted slot
+    (per-row searchsorted) — exactly the gradients jnp.sort would route.
+    Ties collapse to one slot, a subgradient-equivalent choice among equal
+    values. The primal is a no-op, so non-differentiated (inference)
+    renders pay zero cost."""
+    return t_f
+
+
+def _reattach_fwd(t_f, t_c):
+    return t_f, (t_f, t_c)
+
+
+def _reattach_bwd(res, g):
+    t_f, t_c = res
+    row = jnp.arange(t_f.shape[0])[:, None]
+    slot = jax.vmap(jnp.searchsorted)(t_f, t_c)
+    return g, g[row, slot]
+
+
+_reattach_coarse_grads.defvjp(_reattach_fwd, _reattach_bwd)
+
+
 def render_rays(
     params_coarse,
     params_fine,
@@ -212,15 +240,12 @@ def render_rays(
                              pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
         # Gradient parity with the XLA path (which stops only t_extra and
         # lets d/dt_c flow through merge_samples' sort): the kernel has no
-        # VJP, so re-attach the coarse samples' gradients straight-through.
-        # Each t_c value passes through the merge unchanged; its sorted slot
-        # is found by per-row searchsorted, and adding (t_c - sg(t_c)) there
-        # is a value-preserving scatter that routes exactly the gradients
-        # jnp.sort would. Ties collapse to one slot — a subgradient-
-        # equivalent assignment among equal values.
-        row = jnp.arange(t_f.shape[0])[:, None]
-        slot = jax.vmap(jnp.searchsorted)(t_f, t_c)
-        t_f = t_f.at[row, slot].add(t_c - jax.lax.stop_gradient(t_c))
+        # VJP, so re-attach the coarse samples' gradients via a custom-VJP
+        # identity whose backward gathers each t_c's cotangent from its
+        # sorted slot (_reattach_coarse_grads). The slot search runs ONLY
+        # when something differentiates through the render — inference pays
+        # nothing.
+        t_f = _reattach_coarse_grads(t_f, t_c)
     else:
         w_c = compute_weights(sigma_c, t_c, far_w, t_threshold=cfg.t_threshold)
         t_extra = importance_samples(

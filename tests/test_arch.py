@@ -190,3 +190,34 @@ def test_restore_params_template_free(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state.params["coarse"]["rgb"]["bias"]),
         params["coarse"]["rgb"]["bias"])
+
+
+def test_fused_kernel_no_skip_arch():
+    """skip_at == depth-1 is the no-skip sentinel: no dense{depth} layer
+    exists, and the fused path must serve it instead of KeyError-ing."""
+    from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp, infer_arch
+
+    arch = ArchConfig(width=128, v_width=64, depth=4, skip_at=3)
+    params = init_nerf_params(jax.random.key(0), arch=arch)
+    assert infer_arch(params) == (128, 64, 4, 3)
+    pts = jnp.linspace(-1.0, 1.0, 30).reshape(10, 3)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (10, 1))
+    r0, s0 = nerf_mlp(params, pts, dirs)
+    r1, s1 = fused_nerf_mlp(params, pts, dirs, dtype="float32", tile=128)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=2e-5)
+
+
+def test_load_nerf_params_rejects_malformed_directory(tmp_path):
+    """A weight directory missing a head must fail AT LOAD, not as an
+    opaque KeyError inside jit tracing later."""
+    from nerf_rs_tpu.io.weights import load_nerf_params, save_nerf_params
+
+    params = init_nerf_params(jax.random.key(0), arch=STUDENT)
+    save_nerf_params(tmp_path / "net", params)
+    # strip the alpha head from shapes.txt and its tensors
+    st = (tmp_path / "net" / "shapes.txt").read_text().splitlines()
+    (tmp_path / "net" / "shapes.txt").write_text(
+        "\n".join(l for l in st if not l.startswith("alpha")) + "\n")
+    with pytest.raises(ValueError, match="alpha"):
+        load_nerf_params(tmp_path / "net", device_put=False)

@@ -169,3 +169,15 @@ def test_render_fused_sampling_composes_with_accel(lego_params, golden):
                          8, 8, key, base.replace(sampling_impl="pallas"),
                          grid=grid)
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-3)
+
+
+def test_supported_rejects_non_pow2_lane_width():
+    """(64, 256) packs to 384 lanes — 128-aligned but NOT a power of two;
+    the bitonic network is only a sorting network at pow2 widths, so
+    supported() must reject it (it used to pass and sort incorrectly)."""
+    from nerf_rs_tpu.ops.kernels.resample import supported
+
+    assert supported(64, 128)          # canonical: 256 lanes
+    assert supported(32, 64)           # wasm preset: 128 lanes
+    assert not supported(64, 256)      # 384 lanes: pow2 counts, bad width
+    assert not supported(128, 512)     # 768 lanes

@@ -30,6 +30,7 @@ run() {
   # Internal deadline below the shell timeout so a mid-run wedge still
   # yields bench.py's diagnostic JSON record, not a bare "exit 124".
   out=$(timeout 1800 env "$@" NERF_BENCH_INIT_TIMEOUT=240 \
+        NERF_BENCH_LOCK_WAIT=900 \
         NERF_BENCH_DEADLINE=1500 python bench.py 2>/tmp/tpu_ab_stderr.log)
   local rc=$?
   if [ $rc -ne 0 ] || [ -z "$out" ]; then

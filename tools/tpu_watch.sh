@@ -36,7 +36,10 @@ while true; do
       if [ -d /tmp/tpu_student/exported ]; then
         # impl resolves itself: the fused kernel serves 128-aligned student
         # archs, bench falls back to xla only for unaligned ones.
+        # Lock wait below the shell timeout so a held lock still yields
+        # bench's graceful JSON record instead of a silent SIGTERM.
         NERF_BENCH_WEIGHTS=/tmp/tpu_student/exported \
+          NERF_BENCH_LOCK_WAIT=900 NERF_BENCH_DEADLINE=1500 \
           NERF_BENCH_SIZE=800 timeout 1800 python bench.py >> "$LOG" 2>>"$STATUS"
         echo "$(date +%FT%T) trained-student bench appended to $LOG" >> "$STATUS"
       fi
