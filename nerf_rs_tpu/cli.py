@@ -28,7 +28,24 @@ def _load_scene(args):
     assets = Path(args.weights) if getattr(args, "weights", None) else find_lego_assets()
     if assets is None:
         sys.exit("error: no weight assets found (set --weights or $NERF_RS_TPU_ASSETS)")
-    params, golden = load_scene_assets(assets)
+    try:
+        params, golden = load_scene_assets(assets)
+    except FileNotFoundError:
+        # A bare weight export (coarse/ + fine/, no camera JSON — e.g.
+        # `cli export` output): usable with an explicit --camera, or with
+        # the pretrained assets' camera as the fallback.
+        from nerf_rs_tpu.io.weights import load_nerf_params
+
+        params = {"coarse": load_nerf_params(assets / "coarse"),
+                  "fine": load_nerf_params(assets / "fine")}
+        cam_src = (Path(args.camera) if getattr(args, "camera", None)
+                   else (find_lego_assets() or assets) / "tf_reference_samples.json")
+        if not Path(cam_src).exists():
+            sys.exit(f"error: {assets} has no tf_reference_samples.json — "
+                     "pass --camera <json>")
+        golden = load_golden(cam_src)
+        camera = camera_from_golden(golden)
+        return params, camera, golden
     if getattr(args, "camera", None):
         golden = load_golden(Path(args.camera))
     camera = camera_from_golden(golden)
@@ -48,6 +65,22 @@ def _render_config(args):
     )
 
 
+def _impl_for_params(cfg, params):
+    """Fall back to the XLA MLP when loaded weights are outside the fused
+    kernel's 128-aligned ArchConfig family (e.g. an exported unaligned
+    student) — a crash at trace time is the wrong answer to '--impl pallas'
+    defaults meeting arbitrary weights."""
+    if cfg.impl != "pallas":
+        return cfg
+    from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
+
+    tree = params.get("coarse", params) if isinstance(params, dict) else params
+    if not supports_arch(tree):
+        print("note: weights are not 128-aligned — running impl='xla'")
+        return cfg.replace(impl="xla")
+    return cfg
+
+
 def cmd_render(args) -> int:
     import jax
     import numpy as np
@@ -58,7 +91,7 @@ def cmd_render(args) -> int:
     from nerf_rs_tpu.utils.profiling import device_trace
 
     params, camera, _ = _load_scene(args)
-    cfg = _render_config(args)
+    cfg = _impl_for_params(_render_config(args), params)
     print(f"Rendering {args.width}x{args.height} with {cfg.n_coarse} coarse and "
           f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
     grid = None
@@ -482,6 +515,7 @@ def cmd_evaluate(args) -> int:
     # member) is inferred from the checkpoint itself.
     params, step = restore_params(ckpt)
     params = jax.device_put(params)
+    cfg = _impl_for_params(cfg, params)
 
     key = jax.random.key(args.seed)
     ref = np.asarray(render_image(teacher["coarse"], teacher["fine"], camera,

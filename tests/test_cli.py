@@ -159,3 +159,28 @@ def test_cli_evaluate(tmp_path, assets_dir, capsys):
     assert main(["evaluate", "--checkpoint-dir", ck, "--size", "8", *base]) == 0
     out = capsys.readouterr().out
     assert "PSNR vs teacher" in out
+
+
+def test_cli_render_bare_export_weights(tmp_path, assets_dir):
+    """`render --weights <cli-export dir>` (coarse/+fine/ only, no camera
+    JSON) works: params load bare, the camera falls back to the pretrained
+    assets' golden (or --camera); unaligned student weights auto-fall back
+    to impl='xla' instead of crashing the fused kernel."""
+    import jax
+
+    from nerf_rs_tpu.config import ArchConfig
+    from nerf_rs_tpu.io.weights import save_nerf_params
+    from nerf_rs_tpu.models.mlp import init_nerf_params
+
+    arch = ArchConfig(width=64, v_width=32, depth=4, skip_at=2)
+    export = tmp_path / "export"
+    save_nerf_params(export / "coarse",
+                     init_nerf_params(jax.random.key(0), arch=arch))
+    save_nerf_params(export / "fine",
+                     init_nerf_params(jax.random.key(1), arch=arch))
+    out = tmp_path / "img.png"
+    rc = main(["render", "--weights", str(export), "--width", "8",
+               "--height", "8", "--coarse-samples", "4",
+               "--fine-samples", "8", "--ray-chunk", "64",
+               "-o", str(out)])
+    assert rc == 0 and out.exists()
