@@ -158,14 +158,41 @@ def cmd_render(args) -> int:
             save_png(path, img, args.height, args.width)
         print(f"Wrote {path}")
 
+    aux_out = getattr(args, "depth_output", None) or getattr(args, "acc_output", None)
+    if aux_out:
+        from nerf_rs_tpu.render import render_image_aux
+
+        def run_aux(k, cam):
+            return render_image_aux(params["coarse"], params["fine"], cam,
+                                    args.height, args.width, k, cfg, grid=grid)
+
     t0 = time.perf_counter()
     with device_trace(args.trace_dir):
         for fi in range(n_frames):
             cam_i = camera if n_frames == 1 else orbit_camera(
                 camera, 2.0 * np.pi * fi / n_frames)
-            img = np.asarray(run(jax.random.key(args.seed), cam_i))
-            save(out if n_frames == 1
-                 else out.with_name(f"{out.stem}_{fi:03d}{out.suffix}"), img)
+            suffix = "" if n_frames == 1 else f"_{fi:03d}"
+
+            def frame_path(base):
+                p = Path(base)
+                return p if n_frames == 1 else p.with_name(
+                    f"{p.stem}{suffix}{p.suffix}")
+
+            if aux_out:
+                rgb, depth, acc = run_aux(jax.random.key(args.seed), cam_i)
+                img = np.asarray(rgb)
+                if args.depth_output:
+                    # Depth normalized to [near, far], near = white
+                    # (standard disparity-style visualization).
+                    d = (np.asarray(depth) - camera.near) / (camera.far - camera.near)
+                    save(frame_path(args.depth_output),
+                         np.repeat(1.0 - np.clip(d, 0, 1)[..., None], 3, -1))
+                if args.acc_output:
+                    save(frame_path(args.acc_output),
+                         np.repeat(np.clip(np.asarray(acc), 0, 1)[..., None], 3, -1))
+            else:
+                img = np.asarray(run(jax.random.key(args.seed), cam_i))
+            save(frame_path(out), img)
     dt = time.perf_counter() - t0
     rays = args.width * args.height * n_frames
     print(f"Rendering completed in {dt:.2f} seconds ({rays / dt:,.0f} rays/s, "
@@ -650,6 +677,11 @@ def main(argv=None) -> int:
                         "intersection (same sample count, denser on the "
                         "object; implies --accel-calibrate)")
     p.add_argument("--trace-dir", help="write a jax.profiler trace here")
+    p.add_argument("--depth-output",
+                   help="also write the depth map (expected-t, near=white) "
+                        "as PNG/PPM here")
+    p.add_argument("--acc-output",
+                   help="also write the accumulated-opacity map here")
     p.add_argument("--orbit", type=int, default=0,
                    help="render N turntable frames rotating the camera "
                         "about the scene's z-axis (output gets _000.. "

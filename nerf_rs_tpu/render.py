@@ -344,6 +344,59 @@ def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
     return out.reshape(n_rays_padded, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("n_rays_padded", "cfg", "chunk"))
+def _render_flat_aux(params_coarse, params_fine, origin, dirs_flat, near, far,
+                     key, n_rays_padded: int, cfg: RenderConfig,
+                     grid=None, chunk: Optional[int] = None):
+    """Chunked render returning per-ray (rgb, depth, acc) — the aux scalars
+    a renderer's depth/alpha outputs need (aux arrays like per-sample
+    weights are reduced inside the chunk body, so memory stays bounded)."""
+    chunk = chunk or min(cfg.ray_chunk, n_rays_padded)
+    n_chunks = n_rays_padded // chunk
+    dirs_chunks = dirs_flat.reshape(n_chunks, chunk, 3)
+
+    def body(args):
+        idx, d = args
+        ids = idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        rgb, aux = render_rays(
+            params_coarse, params_fine, origin, d, near, far,
+            key, cfg, ray_ids=ids, grid=grid, return_aux=True,
+        )
+        return rgb, aux["depth"], aux["acc"]
+
+    rgb, depth, acc = jax.lax.map(body, (jnp.arange(n_chunks), dirs_chunks))
+    return (rgb.reshape(n_rays_padded, 3), depth.reshape(n_rays_padded),
+            acc.reshape(n_rays_padded))
+
+
+def render_image_aux(
+    params_coarse, params_fine, camera: Camera, height: int, width: int,
+    key: jax.Array, cfg: Optional[RenderConfig] = None, grid=None,
+):
+    """Full-frame render that also returns the depth map (expected-t under
+    the fine weights) and the accumulated opacity — the auxiliary outputs
+    renderer users expect alongside RGB (the reference only emits RGB,
+    lib.rs:474-565; depth/acc fall out of the same weights for free).
+    Returns (rgb (H,W,3), depth (H,W), acc (H,W))."""
+    cfg = cfg or RenderConfig()
+    _, dirs = camera_rays(camera, height, width)
+    n = height * width
+    chunk = min(cfg.ray_chunk, max(n, 1))
+    pad = (-n) % chunk
+    dirs_flat = dirs.reshape(n, 3)
+    if pad:
+        dirs_flat = jnp.concatenate(
+            [dirs_flat, jnp.ones((pad, 3), dirs.dtype)], axis=0)
+    rgb, depth, acc = _render_flat_aux(
+        params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
+        jnp.asarray(camera.near), jnp.asarray(camera.far), key, n + pad, cfg,
+        grid=grid,
+    )
+    return (rgb[:n].reshape(height, width, 3),
+            depth[:n].reshape(height, width),
+            acc[:n].reshape(height, width))
+
+
 def render_image(
     params_coarse,
     params_fine,

@@ -282,3 +282,26 @@ def test_sharded_render_with_accel_aabb_matches_single(lego_params, golden):
     img_1 = render_image(lego_params["coarse"], lego_params["fine"],
                          cam, 16, 16, key, cfg, grid=grid)
     np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
+
+
+def test_render_image_aux_depth_acc(lego_params, golden):
+    """render_image_aux: rgb matches the standard render's pipeline (same
+    weights, XLA chain), depth lies in [near, far] where opaque, acc in
+    [0, 1], background rays have ~zero acc."""
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.render import render_image_aux
+
+    cam = camera_from_golden(golden)
+    cfg = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=64)
+    rgb, depth, acc = render_image_aux(lego_params["coarse"],
+                                       lego_params["fine"], cam, 16, 16,
+                                       jax.random.key(0), cfg)
+    rgb, depth, acc = np.asarray(rgb), np.asarray(depth), np.asarray(acc)
+    assert rgb.shape == (16, 16, 3) and depth.shape == (16, 16)
+    assert np.all(acc >= 0) and np.all(acc <= 1 + 1e-5)
+    solid = acc > 0.5
+    assert solid.any(), "expected some opaque pixels"
+    assert np.all(depth[solid] >= cam.near - 1e-3)
+    assert np.all(depth[solid] <= cam.far + 1e-3)
+    # corners look past the object -> transparent
+    assert acc[0, 0] < 0.05 and acc[-1, -1] < 0.05
