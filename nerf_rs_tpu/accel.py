@@ -72,12 +72,15 @@ def _params_fused_ok(params) -> bool:
     return supports_arch(params)
 
 
-@functools.partial(jax.jit, static_argnames=("mlp_fn", "chunk", "r", "dilate"))
+@functools.partial(jax.jit, static_argnames=("mlp_fn", "chunk", "r", "dilate",
+                                             "return_sigma"))
 def _grid_sweep(params, pts, sigma_threshold, *, mlp_fn, chunk: int, r: int,
-                dilate: int):
+                dilate: int, return_sigma: bool = False):
     """Module-level jit (NOT a per-call closure) so repeated grid builds —
     cli train --accel-every refreshes every N steps — compile once per
-    (mlp_fn, chunk, r, dilate) instead of every call."""
+    (mlp_fn, chunk, r, dilate) instead of every call. ``return_sigma``
+    additionally returns the raw density lattice (geometry extraction,
+    extract.py)."""
     dirs = jnp.zeros((1, 3), jnp.float32).at[0, 2].set(1.0)  # sigma ignores dirs
     n = pts.shape[0]
     n_chunks = -(-n // chunk)
@@ -96,6 +99,8 @@ def _grid_sweep(params, pts, sigma_threshold, *, mlp_fn, chunk: int, r: int,
             window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
             padding="SAME",
         )
+    if return_sigma:
+        return occ, sig.reshape(r, r, r)
     return occ
 
 
@@ -135,6 +140,31 @@ def build_occupancy_grid(
         aabb_min=jnp.full((3,), lo, jnp.float32),
         aabb_max=jnp.full((3,), hi, jnp.float32),
     )
+
+
+def density_grid(
+    params,
+    *,
+    resolution: int = 128,
+    aabb: Tuple[float, float] = (-2.0, 2.0),
+    chunk: int = 262_144,
+    mlp_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Raw sigma lattice at cell centers, (R, R, R) f32 — the input to
+    geometry extraction (extract.extract_voxel_mesh). Same sweep machinery
+    as build_occupancy_grid, without thresholding."""
+    if mlp_fn is None:
+        mlp_fn = (_default_grid_mlp_fn() if _params_fused_ok(params)
+                  else _oracle_grid_mlp_fn())
+    chunk = min(chunk, resolution ** 3)
+    lo, hi = float(aabb[0]), float(aabb[1])
+    r = resolution
+    centers_1d = lo + (jnp.arange(r, dtype=jnp.float32) + 0.5) * ((hi - lo) / r)
+    gx, gy, gz = jnp.meshgrid(centers_1d, centers_1d, centers_1d, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    _, sig = _grid_sweep(params, pts, jnp.float32(0.0), mlp_fn=mlp_fn,
+                         chunk=chunk, r=r, dilate=0, return_sigma=True)
+    return sig
 
 
 def build_scene_grid(params_coarse, params_fine, **kw) -> OccupancyGrid:

@@ -556,6 +556,27 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_extract(args) -> int:
+    """Extract the trained field's iso-surface as a PLY mesh (geometry
+    export — previews / DCC import; the reference renders images only)."""
+    import time
+
+    from nerf_rs_tpu.extract import extract_scene_mesh, save_ply
+
+    params, _, _ = _load_scene(args)
+    t0 = time.perf_counter()
+    verts, faces = extract_scene_mesh(
+        params["coarse"], params["fine"], resolution=args.resolution,
+        aabb=(-args.extent, args.extent), iso=args.iso)
+    if len(faces) == 0:
+        sys.exit(f"error: no surface at iso={args.iso} — try a lower --iso")
+    save_ply(args.output, verts, faces)
+    print(f"wrote {args.output}: {len(verts):,} vertices, "
+          f"{len(faces):,} triangles ({args.resolution}^3 lattice, "
+          f"iso {args.iso}, {time.perf_counter() - t0:.1f}s)")
+    return 0
+
+
 def cmd_export(args) -> int:
     """Export a training checkpoint to the reference .bin format (any
     ArchConfig member; shapes.txt records the student dims)."""
@@ -758,6 +779,20 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("extract",
+                       help="trained field -> PLY surface mesh (geometry "
+                            "export)")
+    p.add_argument("--weights", help="scene assets dir / .npz bundle "
+                                     "(default: pretrained lego)")
+    p.add_argument("-o", "--output", required=True, help="output .ply path")
+    p.add_argument("--resolution", type=int, default=128,
+                   help="density lattice resolution per axis")
+    p.add_argument("--iso", type=float, default=10.0,
+                   help="density iso level treated as the surface")
+    p.add_argument("--extent", type=float, default=2.0,
+                   help="half-width of the sampled cube (aabb +-extent)")
+    p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("pack", help="scene -> single self-contained .npz bundle")
     p.add_argument("--weights", help="weight bundle dir (default: auto-discover)")

@@ -1,0 +1,147 @@
+"""Geometry extraction: density lattice -> surface mesh / point cloud.
+
+The reference is a pure image renderer; production NeRF users also expect
+to pull GEOMETRY out of a trained field (previews, collision proxies,
+DCC-tool import). This module extracts the iso-surface of the density
+lattice (accel.density_grid — the same sweep that bakes the occupancy
+grid) as a voxel-boundary quad mesh:
+
+- For every lattice edge where sigma crosses ``iso`` between two adjacent
+  cells, emit the boundary face between them, with the face plane placed
+  at the LINEARLY INTERPOLATED crossing along that axis (so flat regions
+  land sub-cell accurately; corners remain voxel-quantized — a deliberate
+  trade against table-driven marching cubes, which needs the classic
+  256-case triangle tables this repo would otherwise have to vendor).
+- Vertices are deduplicated on exact coordinates; faces are emitted as
+  triangle pairs with outward orientation (occupied -> empty).
+
+Pure numpy on the host (the lattice is ~R^3 f32 from the device; the mesh
+assembly is data-dependent and belongs on the CPU). ASCII PLY output —
+loadable by every mesh tool.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def extract_voxel_mesh(sigma: np.ndarray, iso: float,
+                       aabb: Tuple[float, float] = (-2.0, 2.0)):
+    """(R, R, R) density lattice -> (vertices (V, 3) f32, faces (F, 3) i32).
+
+    Faces sit between cell centers where ``sigma`` crosses ``iso`` along an
+    axis, at the interpolated crossing position; each quad becomes two
+    triangles wound so normals point from the occupied side to the empty
+    side. Returns empty arrays when nothing crosses the iso level.
+    """
+    sigma = np.asarray(sigma, np.float32)
+    r = sigma.shape[0]
+    assert sigma.shape == (r, r, r), sigma.shape
+    lo, hi = float(aabb[0]), float(aabb[1])
+    cell = (hi - lo) / r
+    centers = lo + (np.arange(r, dtype=np.float32) + 0.5) * cell
+
+    inside = sigma > iso
+    quads = []       # (N, 4, 3) corner positions, outward-wound
+
+    for axis in range(3):
+        a = np.take(inside, np.arange(r - 1), axis=axis)
+        b = np.take(inside, np.arange(1, r), axis=axis)
+        cross = a != b
+        idx = np.argwhere(cross)                       # (N, 3) lower-cell ijk
+        if idx.size == 0:
+            continue
+        s0 = sigma[tuple((idx + 0).T)]
+        off = np.zeros((1, 3), np.int64)
+        off[0, axis] = 1
+        s1 = sigma[tuple((idx + off).T)]
+        # Interpolated crossing between the two cell centers along `axis`.
+        t = np.clip((iso - s0) / np.where(np.abs(s1 - s0) < 1e-12,
+                                          1e-12, s1 - s0), 0.0, 1.0)
+        pos_axis = centers[idx[:, axis]] + t.astype(np.float32) * cell
+
+        # (axis, u, v) must be an EVEN permutation of (0,1,2) so the CCW
+        # corner winding's normal (u x v) points along +axis; the naive
+        # sorted pair flips axis=1 (x cross z = -y).
+        u_axis, v_axis = ((1, 2), (2, 0), (0, 1))[axis]
+        cu = centers[idx[:, u_axis]]
+        cv = centers[idx[:, v_axis]]
+        h = np.float32(0.5 * cell)
+        corners = np.empty((idx.shape[0], 4, 3), np.float32)
+        for ci, (du, dv) in enumerate(((-1, -1), (1, -1), (1, 1), (-1, 1))):
+            corners[:, ci, axis] = pos_axis
+            corners[:, ci, u_axis] = cu + du * h
+            corners[:, ci, v_axis] = cv + dv * h
+        # Wind outward: flip when the OCCUPIED side is the upper cell.
+        flip = s1 > s0
+        corners[flip] = corners[flip, ::-1]
+        quads.append(corners)
+
+    if not quads:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    corners = np.concatenate(quads, axis=0)            # (Q, 4, 3)
+
+    flat = corners.reshape(-1, 3)
+    verts, inv = np.unique(flat.round(6), axis=0, return_inverse=True)
+    quad_idx = inv.reshape(-1, 4).astype(np.int32)
+    faces = np.concatenate(
+        [quad_idx[:, [0, 1, 2]], quad_idx[:, [0, 2, 3]]], axis=0)
+    return verts.astype(np.float32), faces
+
+
+def save_ply(path: os.PathLike, vertices: np.ndarray,
+             faces: np.ndarray) -> None:
+    """ASCII PLY writer (no external mesh deps in this environment)."""
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        np.savetxt(f, vertices, fmt="%.6f")
+        np.savetxt(f, np.concatenate(
+            [np.full((len(faces), 1), 3, np.int64), faces], axis=1), fmt="%d")
+
+
+def load_ply(path: os.PathLike):
+    """Minimal ASCII PLY reader (round-trip checks / tests)."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    n_v = n_f = 0
+    for i, line in enumerate(lines):
+        if line.startswith("element vertex"):
+            n_v = int(line.split()[-1])
+        elif line.startswith("element face"):
+            n_f = int(line.split()[-1])
+        elif line == "end_header":
+            body = i + 1
+            break
+    verts = np.array([[float(v) for v in l.split()]
+                      for l in lines[body:body + n_v]], np.float32)
+    faces = np.array([[int(v) for v in l.split()[1:]]
+                      for l in lines[body + n_v:body + n_v + n_f]], np.int32)
+    return verts.reshape(-1, 3) if n_v else np.zeros((0, 3), np.float32), \
+        faces.reshape(-1, 3) if n_f else np.zeros((0, 3), np.int32)
+
+
+def extract_scene_mesh(params_coarse, params_fine, *, resolution: int = 128,
+                       aabb: Tuple[float, float] = (-2.0, 2.0),
+                       iso: float = 10.0, chunk: int = 262_144):
+    """Trained networks -> surface mesh of the FINE field (the render's
+    actual geometry; the coarse net only guides sampling).
+
+    ``iso`` is the density level treated as the surface: exp(-iso * delta)
+    with the render's typical sample spacing ~0.03 means iso=10 marks
+    ~26% opacity per sample — a solid-surface level on lego-scale scenes.
+    Tune per scene (CLI --iso).
+    """
+    from nerf_rs_tpu.accel import density_grid
+
+    sigma = np.asarray(density_grid(params_fine, resolution=resolution,
+                                    aabb=aabb, chunk=chunk))
+    return extract_voxel_mesh(sigma, iso, aabb=aabb)
