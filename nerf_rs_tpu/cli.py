@@ -570,10 +570,17 @@ def cmd_extract(args) -> int:
         aabb=(-args.extent, args.extent), iso=args.iso)
     if len(faces) == 0:
         sys.exit(f"error: no surface at iso={args.iso} — try a lower --iso")
-    save_ply(args.output, verts, faces)
+    colors = None
+    if not args.no_color:
+        from nerf_rs_tpu.extract import vertex_colors
+
+        colors = vertex_colors(params["fine"], verts, faces)
+    save_ply(args.output, verts, faces, colors=colors)
     print(f"wrote {args.output}: {len(verts):,} vertices, "
-          f"{len(faces):,} triangles ({args.resolution}^3 lattice, "
-          f"iso {args.iso}, {time.perf_counter() - t0:.1f}s)")
+          f"{len(faces):,} triangles"
+          f"{' (vertex colors)' if colors is not None else ''} "
+          f"({args.resolution}^3 lattice, iso {args.iso}, "
+          f"{time.perf_counter() - t0:.1f}s)")
     return 0
 
 
@@ -792,6 +799,9 @@ def main(argv=None) -> int:
                    help="density iso level treated as the surface")
     p.add_argument("--extent", type=float, default=2.0,
                    help="half-width of the sampled cube (aabb +-extent)")
+    p.add_argument("--no-color", action="store_true",
+                   help="skip baking vertex colors (fine network queried "
+                        "along the inward normal)")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("pack", help="scene -> single self-contained .npz bundle")

@@ -92,18 +92,58 @@ def extract_voxel_mesh(sigma: np.ndarray, iso: float,
     return verts.astype(np.float32), faces
 
 
+def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted average of adjacent face normals, unit length."""
+    tri = vertices[faces]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])  # 2x area
+    n = np.zeros_like(vertices)
+    for c in range(3):
+        np.add.at(n, faces[:, c], fn)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    return n / np.maximum(norm, 1e-12)
+
+
+def vertex_colors(params_fine, vertices: np.ndarray,
+                  faces: np.ndarray) -> np.ndarray:
+    """(V, 3) float colors: the fine network queried AT each vertex with
+    the view direction looking along the inward normal (an outside
+    observer facing the surface) — the standard view-direction choice for
+    baking a NeRF's view-dependent color onto a mesh."""
+    import jax
+
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+
+    dirs = -vertex_normals(vertices, faces)
+    rgb, _ = jax.jit(nerf_mlp)(params_fine,
+                               np.asarray(vertices, np.float32),
+                               np.asarray(dirs, np.float32))
+    return np.clip(np.asarray(rgb), 0.0, 1.0)
+
+
 def save_ply(path: os.PathLike, vertices: np.ndarray,
-             faces: np.ndarray) -> None:
-    """ASCII PLY writer (no external mesh deps in this environment)."""
+             faces: np.ndarray, colors: np.ndarray = None) -> None:
+    """ASCII PLY writer (no external mesh deps in this environment).
+    ``colors``: optional (V, 3) floats in [0, 1] -> uchar r/g/b."""
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int64)
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
         f.write(f"element vertex {len(vertices)}\n")
         f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
         f.write(f"element face {len(faces)}\n")
         f.write("property list uchar int vertex_indices\nend_header\n")
-        np.savetxt(f, vertices, fmt="%.6f")
+        if colors is not None:
+            c8 = (np.clip(np.asarray(colors), 0, 1) * 255.0 + 0.5).astype(np.uint8)
+            rows = np.concatenate([vertices.astype(object),
+                                   c8.astype(object)], axis=1)
+            for row in rows:
+                f.write(f"{row[0]:.6f} {row[1]:.6f} {row[2]:.6f} "
+                        f"{row[3]} {row[4]} {row[5]}\n")
+        else:
+            np.savetxt(f, vertices, fmt="%.6f")
         np.savetxt(f, np.concatenate(
             [np.full((len(faces), 1), 3, np.int64), faces], axis=1), fmt="%d")
 
@@ -121,7 +161,7 @@ def load_ply(path: os.PathLike):
         elif line == "end_header":
             body = i + 1
             break
-    verts = np.array([[float(v) for v in l.split()]
+    verts = np.array([[float(v) for v in l.split()[:3]]
                       for l in lines[body:body + n_v]], np.float32)
     faces = np.array([[int(v) for v in l.split()[1:]]
                       for l in lines[body + n_v:body + n_v + n_f]], np.int32)

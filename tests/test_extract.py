@@ -80,3 +80,30 @@ def test_cli_extract_lego(tmp_path, assets_dir):
     verts, faces = load_ply(out)
     assert len(faces) > 50
     assert np.all(np.abs(verts) <= 1.5 + 1e-5)
+
+
+def test_colored_ply_and_vertex_normals(tmp_path):
+    """Vertex normals on the sphere point radially outward; colored PLY
+    writes uchar r/g/b and load_ply still parses positions."""
+    from nerf_rs_tpu.extract import save_ply, vertex_normals
+
+    sigma = _sphere_sigma(r=32)
+    verts, faces = extract_voxel_mesh(sigma, iso=25.0)
+    n = vertex_normals(verts, faces)
+    rad = verts / np.maximum(np.linalg.norm(verts, axis=1, keepdims=True), 1e-9)
+    cos = np.einsum("vi,vi->v", n, rad)
+    # Voxel staircasing caps per-vertex alignment; outwardness must still
+    # dominate strongly in aggregate and nothing may point inward much.
+    assert np.mean(cos) > 0.6, float(np.mean(cos))
+    assert np.mean(cos > 0.0) > 0.99, "normals must not point inward"
+
+    colors = np.tile(np.asarray([[1.0, 0.5, 0.0]]), (len(verts), 1))
+    p = tmp_path / "c.ply"
+    save_ply(p, verts, faces, colors=colors)
+    head = p.read_text().splitlines()
+    assert "property uchar red" in head[:12]
+    v2, f2 = load_ply(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-5)
+    np.testing.assert_array_equal(f2, faces)
+    first = head[head.index("end_header") + 1].split()
+    assert first[3:6] == ["255", "128", "0"]
