@@ -32,6 +32,10 @@ def _run(script, *args):
      ("--cpu", "--size", "16", "--resolution", "16")),
     ("08_turntable.py",
      ("--cpu", "--frames", "2", "--size", "16", "--outdir", "/tmp/ex08")),
+    ("09_student_distillation.py",
+     ("--cpu", "--steps", "2", "--batch-rays", "64", "--eval-size", "8")),
+    ("10_geometry_export.py",
+     ("--cpu", "--resolution", "16", "--out", "/tmp/ex10.ply")),
 ])
 def test_example_runs(script, args, assets_dir):
     r = _run(script, *args)
