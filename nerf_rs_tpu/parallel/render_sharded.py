@@ -27,7 +27,7 @@ from jax.sharding import PartitionSpec as P
 from nerf_rs_tpu.config import RenderConfig
 from nerf_rs_tpu.ops.rays import Camera, camera_rays
 from nerf_rs_tpu.parallel.mesh import RAY_AXIS, make_mesh
-from nerf_rs_tpu.render import _render_flat
+from nerf_rs_tpu.render import _render_flat, _render_flat_aux
 
 
 from nerf_rs_tpu.utils import round_up as _round_up
@@ -62,6 +62,56 @@ def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
         check_vma=False,
     )
     return fn(dirs_flat)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_per_dev", "cfg", "mesh", "chunk"))
+def _render_flat_aux_sharded(params_coarse, params_fine, origin, dirs_flat,
+                             near, far, key, n_per_dev: int,
+                             cfg: RenderConfig, mesh, grid=None,
+                             chunk: Optional[int] = None):
+    def per_device(dirs_shard):
+        dev = jax.lax.axis_index(RAY_AXIS)
+        base = (dev * n_per_dev).astype(jnp.int32)
+        return _render_flat_aux(params_coarse, params_fine, origin,
+                                dirs_shard, near, far, key, n_per_dev, cfg,
+                                grid=grid, chunk=chunk, ray_id_base=base)
+
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(RAY_AXIS),),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )
+    return fn(dirs_flat)
+
+
+def render_image_aux_sharded(
+    params_coarse, params_fine, camera: Camera, height: int, width: int,
+    key: jax.Array, cfg: Optional[RenderConfig] = None, mesh=None, grid=None,
+):
+    """Sharded variant of render.render_image_aux: (rgb, depth, acc) with
+    rays data-parallel over the mesh, bitwise equal to single-device."""
+    cfg = cfg or RenderConfig()
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    _, dirs = camera_rays(camera, height, width)
+    n = height * width
+    chunk = min(cfg.ray_chunk, _round_up(max(n // n_dev, 1), 128))
+    n_per_dev = _round_up(-(-n // n_dev), chunk)
+    n_pad = n_per_dev * n_dev
+    dirs_flat = dirs.reshape(n, 3)
+    if n_pad > n:
+        dirs_flat = jnp.concatenate(
+            [dirs_flat, jnp.ones((n_pad - n, 3), dirs.dtype)], axis=0)
+    rgb, depth, acc = _render_flat_aux_sharded(
+        params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
+        jnp.asarray(camera.near), jnp.asarray(camera.far), key,
+        n_per_dev, cfg, mesh, grid=grid, chunk=chunk,
+    )
+    return (rgb[:n].reshape(height, width, 3),
+            depth[:n].reshape(height, width),
+            acc[:n].reshape(height, width))
 
 
 def render_image_sharded(

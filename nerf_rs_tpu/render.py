@@ -347,17 +347,19 @@ def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
 @functools.partial(jax.jit, static_argnames=("n_rays_padded", "cfg", "chunk"))
 def _render_flat_aux(params_coarse, params_fine, origin, dirs_flat, near, far,
                      key, n_rays_padded: int, cfg: RenderConfig,
-                     grid=None, chunk: Optional[int] = None):
+                     grid=None, chunk: Optional[int] = None,
+                     ray_id_base: jnp.ndarray = 0):
     """Chunked render returning per-ray (rgb, depth, acc) — the aux scalars
     a renderer's depth/alpha outputs need (aux arrays like per-sample
-    weights are reduced inside the chunk body, so memory stays bounded)."""
+    weights are reduced inside the chunk body, so memory stays bounded).
+    ``ray_id_base`` offsets the RNG ray ids for sharded callers."""
     chunk = chunk or min(cfg.ray_chunk, n_rays_padded)
     n_chunks = n_rays_padded // chunk
     dirs_chunks = dirs_flat.reshape(n_chunks, chunk, 3)
 
     def body(args):
         idx, d = args
-        ids = idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        ids = ray_id_base + idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         rgb, aux = render_rays(
             params_coarse, params_fine, origin, d, near, far,
             key, cfg, ray_ids=ids, grid=grid, return_aux=True,

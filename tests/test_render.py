@@ -305,3 +305,21 @@ def test_render_image_aux_depth_acc(lego_params, golden):
     assert np.all(depth[solid] <= cam.far + 1e-3)
     # corners look past the object -> transparent
     assert acc[0, 0] < 0.05 and acc[-1, -1] < 0.05
+
+
+def test_sharded_aux_matches_single(lego_params, golden):
+    """Sharded depth/acc render == single-device bitwise (global-ray-id
+    RNG + replicated params make the sharding invisible)."""
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.parallel.render_sharded import render_image_aux_sharded
+    from nerf_rs_tpu.render import render_image_aux
+
+    cam = camera_from_golden(golden)
+    cfg = RenderConfig(n_coarse=4, n_fine=8, ray_chunk=128)
+    key = jax.random.key(2)
+    a = render_image_aux(lego_params["coarse"], lego_params["fine"], cam,
+                         16, 16, key, cfg)
+    b = render_image_aux_sharded(lego_params["coarse"], lego_params["fine"],
+                                 cam, 16, 16, key, cfg)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
