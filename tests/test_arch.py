@@ -221,3 +221,28 @@ def test_load_nerf_params_rejects_malformed_directory(tmp_path):
         "\n".join(l for l in st if not l.startswith("alpha")) + "\n")
     with pytest.raises(ValueError, match="alpha"):
         load_nerf_params(tmp_path / "net", device_put=False)
+
+
+def test_fused_kernel_random_aligned_archs():
+    """Property sweep: several random 128-aligned family members all match
+    the oracle through the fused kernel (fwd, f32)."""
+    from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, (64, 3)).astype(np.float32))
+    dirs = jnp.asarray([[0.0, 1.0, 0.0]] * 64)
+    for trial in range(4):
+        depth = int(rng.integers(2, 9))
+        arch = ArchConfig(
+            width=int(rng.choice([128, 256, 384])),
+            v_width=int(rng.choice([32, 64, 128, 192])),
+            depth=depth,
+            skip_at=int(rng.integers(0, depth)),
+        )
+        params = init_nerf_params(jax.random.key(trial), arch=arch)
+        r0, s0 = nerf_mlp(params, pts, dirs)
+        r1, s1 = fused_nerf_mlp(params, pts, dirs, dtype="float32", tile=128)
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                                   atol=3e-6, err_msg=str(arch))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   atol=1e-4, err_msg=str(arch))
