@@ -163,6 +163,20 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
     return f"fwd render rays/s, lego {size}x{size} {nc}+{nf} samples, {suffix}"
 
 
+def _psnr_db(a, b) -> float:
+    import numpy as np
+
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return round(-10.0 * math.log10(max(mse, 1e-12)), 1)
+
+
+def _print_error_record(msg: str) -> None:
+    print(json.dumps({
+        "metric": _metric_name(), "value": 0.0, "unit": "rays/s",
+        "vs_baseline": 0.0, "error": msg,
+    }), flush=True)
+
+
 def _acquire_tpu_lock():
     """Serialize TPU clients across processes (flock on $NERF_TPU_LOCK,
     default /tmp/nerf_tpu.lock). The tunneled chip serializes clients; a
@@ -237,12 +251,8 @@ def _arm_deadline() -> None:
         return
 
     def fire():
-        print(json.dumps({
-            "metric": _metric_name(), "value": 0.0, "unit": "rays/s",
-            "vs_baseline": 0.0,
-            "error": f"benchmark exceeded {deadline:.0f}s deadline "
-                     "(backend wedged mid-run?)",
-        }), flush=True)
+        _print_error_record(f"benchmark exceeded {deadline:.0f}s deadline "
+                            "(backend wedged mid-run?)")
         os._exit(3)
 
     t = threading.Timer(deadline, fire)
@@ -270,22 +280,14 @@ def main() -> None:
     try:
         _tpu_lock = _acquire_tpu_lock()  # noqa: F841 — held until exit
     except TimeoutError as e:
-        print(json.dumps({
-            "metric": _metric_name(), "value": 0.0, "unit": "rays/s",
-            "vs_baseline": 0.0, "error": str(e),
-        }))
+        _print_error_record(str(e))
         return
     init_timeout = float(os.environ.get("NERF_BENCH_INIT_TIMEOUT", "300"))
     init_error = _backend_alive(init_timeout)
     if init_error is not None:
-        print(json.dumps({
-            "metric": _metric_name(), "value": 0.0, "unit": "rays/s",
-            "vs_baseline": 0.0, "error": init_error,
-        }))
+        _print_error_record(init_error)
         return
     _arm_deadline()
-
-    import jax
 
     from nerf_rs_tpu.config import RenderConfig
     from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
@@ -340,9 +342,9 @@ def main() -> None:
     if arch_env:
         # Student-architecture throughput (ArchConfig family): random-init
         # params — rays/s is weight-value-independent, so this measures the
-        # speed side of a distilled student before one is trained. Forces
-        # the XLA MLP (the fused kernel is canonical-only) and skips the
-        # accel/PSNR machinery (meaningless on random weights).
+        # speed side of a distilled student before one is trained. The
+        # fused kernel serves 128-aligned members; others fall back to XLA.
+        # Accel/PSNR machinery is skipped (meaningless on random weights).
         from nerf_rs_tpu.config import ArchConfig
         from nerf_rs_tpu.models.mlp import init_nerf_params
 
@@ -423,11 +425,9 @@ def main() -> None:
     if accel:
         # Guard: a fast accel number only counts if the image still matches
         # the exact path (the accel contract is >40 dB, tests/test_accel.py).
-        exact = np.asarray(render_image(params_c, params_f, camera, size, size,
-                                        jax.random.fold_in(key, repeats - 1),
-                                        cfg))
-        mse = float(np.mean((exact - img) ** 2))
-        accel_psnr = round(-10.0 * math.log10(max(mse, 1e-12)), 1)
+        exact = render_image(params_c, params_f, camera, size, size,
+                             jax.random.fold_in(key, repeats - 1), cfg)
+        accel_psnr = _psnr_db(exact, img)
         if accel_psnr < 40.0 and accel_auto:
             # Auto mode: below the contract, fall back to a MEASURED exact
             # run so the round still lands a valid number.
@@ -467,11 +467,9 @@ def main() -> None:
         # full-quality 64+128 exact render. Informational, not a guard —
         # the sample-count trade-off is the point of these configs.
         full_cfg = cfg.replace(n_coarse=64, n_fine=128)
-        full = np.asarray(render_image(params_c, params_f, camera, size, size,
-                                       jax.random.fold_in(key, repeats - 1),
-                                       full_cfg))
-        mse = float(np.mean((full - np.asarray(img)) ** 2))
-        result["full_psnr_db"] = round(-10.0 * math.log10(max(mse, 1e-12)), 1)
+        full = render_image(params_c, params_f, camera, size, size,
+                            jax.random.fold_in(key, repeats - 1), full_cfg)
+        result["full_psnr_db"] = _psnr_db(full, img)
     print(json.dumps(result))
 
 

@@ -158,7 +158,7 @@ def cmd_render(args) -> int:
             save_png(path, img, args.height, args.width)
         print(f"Wrote {path}")
 
-    aux_out = getattr(args, "depth_output", None) or getattr(args, "acc_output", None)
+    aux_out = args.depth_output or args.acc_output
     if aux_out:
         from nerf_rs_tpu.render import render_image_aux
 
@@ -166,18 +166,16 @@ def cmd_render(args) -> int:
             return render_image_aux(params["coarse"], params["fine"], cam,
                                     args.height, args.width, k, cfg, grid=grid)
 
+    def frame_path(base, fi):
+        p = Path(base)
+        return p if n_frames == 1 else p.with_name(
+            f"{p.stem}_{fi:03d}{p.suffix}")
+
     t0 = time.perf_counter()
     with device_trace(args.trace_dir):
         for fi in range(n_frames):
             cam_i = camera if n_frames == 1 else orbit_camera(
                 camera, 2.0 * np.pi * fi / n_frames)
-            suffix = "" if n_frames == 1 else f"_{fi:03d}"
-
-            def frame_path(base):
-                p = Path(base)
-                return p if n_frames == 1 else p.with_name(
-                    f"{p.stem}{suffix}{p.suffix}")
-
             if aux_out:
                 rgb, depth, acc = run_aux(jax.random.key(args.seed), cam_i)
                 img = np.asarray(rgb)
@@ -185,14 +183,14 @@ def cmd_render(args) -> int:
                     # Depth normalized to [near, far], near = white
                     # (standard disparity-style visualization).
                     d = (np.asarray(depth) - camera.near) / (camera.far - camera.near)
-                    save(frame_path(args.depth_output),
+                    save(frame_path(args.depth_output, fi),
                          np.repeat(1.0 - np.clip(d, 0, 1)[..., None], 3, -1))
                 if args.acc_output:
-                    save(frame_path(args.acc_output),
+                    save(frame_path(args.acc_output, fi),
                          np.repeat(np.clip(np.asarray(acc), 0, 1)[..., None], 3, -1))
             else:
                 img = np.asarray(run(jax.random.key(args.seed), cam_i))
-            save(frame_path(out), img)
+            save(frame_path(out, fi), img)
     dt = time.perf_counter() - t0
     rays = args.width * args.height * n_frames
     print(f"Rendering completed in {dt:.2f} seconds ({rays / dt:,.0f} rays/s, "

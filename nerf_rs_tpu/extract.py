@@ -137,11 +137,8 @@ def save_ply(path: os.PathLike, vertices: np.ndarray,
         f.write("property list uchar int vertex_indices\nend_header\n")
         if colors is not None:
             c8 = (np.clip(np.asarray(colors), 0, 1) * 255.0 + 0.5).astype(np.uint8)
-            rows = np.concatenate([vertices.astype(object),
-                                   c8.astype(object)], axis=1)
-            for row in rows:
-                f.write(f"{row[0]:.6f} {row[1]:.6f} {row[2]:.6f} "
-                        f"{row[3]} {row[4]} {row[5]}\n")
+            np.savetxt(f, np.column_stack([vertices, c8]),
+                       fmt="%.6f %.6f %.6f %d %d %d")
         else:
             np.savetxt(f, vertices, fmt="%.6f")
         np.savetxt(f, np.concatenate(
