@@ -1,9 +1,15 @@
 #!/usr/bin/env bash
 # Tunnel watcher: probe the axon TPU backend every $INTERVAL seconds and
-# launch tools/tpu_ab.sh the moment it answers. Designed to run inside a
-# tmux session during outages so the staged A/B sweep (PLAN.md) starts
-# unattended the instant the tunnel recovers. Appends status lines to
-# $STATUS so a supervisor can poll progress cheaply.
+# launch tools/tpu_ab.sh the moment it answers. Designed to run unattended
+# (nohup; kill by exact PID) during outages so the staged A/B sweep
+# (PLAN.md) starts the instant the tunnel recovers. Appends status lines
+# to $STATUS so a supervisor can poll progress cheaply.
+#
+# Success = the HEADLINE leg (default_800, the exact config the
+# end-of-round driver bench runs) has a clean record in $LOG. A tunnel
+# flap mid-sweep leaves only error records — the watcher then keeps
+# looping and re-runs the sweep on the next recovery instead of exiting
+# with nothing usable.
 set -u
 cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/tpu_ab.jsonl}"
@@ -19,12 +25,22 @@ probe() {
     >/dev/null 2>&1
 }
 
+headline_landed() {
+  # a default_800 record without an error field
+  grep '"config": "default_800"' "$LOG" 2>/dev/null | grep -qv '"error"'
+}
+
 echo "$(date +%FT%T) watcher start (interval ${INTERVAL}s)" >> "$STATUS"
 while true; do
   if probe; then
     echo "$(date +%FT%T) tunnel UP -> running tpu_ab.sh" >> "$STATUS"
     bash tools/tpu_ab.sh "$LOG" >> "$STATUS" 2>&1
     echo "$(date +%FT%T) sweep finished (rc=$?)" >> "$STATUS"
+    if ! headline_landed; then
+      echo "$(date +%FT%T) headline leg has no clean record — tunnel flap? looping" >> "$STATUS"
+      sleep "$INTERVAL"
+      continue
+    fi
     if [ "${TPU_WATCH_CONVERGENCE:-1}" = "1" ]; then
       echo "$(date +%FT%T) starting convergence run (canonical teacher distill)" >> "$STATUS"
       bash tools/tpu_convergence.sh /tmp/tpu_convergence >> "$STATUS" 2>&1
@@ -44,6 +60,7 @@ while true; do
         echo "$(date +%FT%T) trained-student bench appended to $LOG" >> "$STATUS"
       fi
     fi
+    echo "$(date +%FT%T) watcher done" >> "$STATUS"
     exit 0
   fi
   echo "$(date +%FT%T) tunnel down" >> "$STATUS"
