@@ -6,7 +6,11 @@ activation round-tripping through memory) with ONE kernel per batch tile:
 activations never leave VMEM and weights are DMA'd to VMEM exactly once
 per launch.
 
-Design notes (v2 — TPU-first, measured on v5e):
+Design notes (v3 — TPU-first, measured on v5e; v3 generalizes the blob
+layout, kernel chain, backward, and grad unpacking over the whole
+128-aligned ArchConfig family — the arch is inferred from the params at
+trace time and keys the op cache, so distillation students get the same
+fused path as the canonical network):
 
 * Transposed (feature-major) layout: activations are (features, batch)
   with the batch on the 128-wide lane axis — matching the reference's own
