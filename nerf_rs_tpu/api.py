@@ -74,7 +74,15 @@ def init_renderer(assets_dir: Optional[str] = None,
         # Reference wasm used reduced sample counts (32, 64) for interactive
         # latency (lib.rs:604-607); on TPU the full counts stay interactive.
         # Re-inits that only flip the accel mode keep the configured cfg.
-        _state["cfg"] = cfg or _state.get("cfg") or RenderConfig(ray_chunk=16384)
+        new_cfg = cfg or _state.get("cfg") or RenderConfig(ray_chunk=16384)
+        if new_cfg.impl == "pallas":
+            from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
+
+            if not supports_arch(params["coarse"]):
+                # Serving arbitrary weights (e.g. an unaligned student .npz)
+                # must not crash at trace time — same fallback as the CLI.
+                new_cfg = new_cfg.replace(impl="xla")
+        _state["cfg"] = new_cfg
         if accel:
             if not reuse_grid:
                 from nerf_rs_tpu.accel import build_scene_grid
