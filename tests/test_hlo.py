@@ -99,3 +99,29 @@ def test_train_step_has_one_fused_all_reduce(mesh8, with_grid):
     ops = _collective_ops(txt)
     assert ops == ["all-reduce"], (
         f"expected exactly ONE fused all-reduce, compiled {ops}")
+
+
+def test_sharded_accel_aabb_render_has_zero_collectives(mesh8):
+    """The AABB/probe range math (occupied_aabb reductions over the
+    replicated grid + per-ray slab/probe work) must stay device-local —
+    any collective would mean the clamp accidentally resharded."""
+    from nerf_rs_tpu.accel import OccupancyGrid
+    from nerf_rs_tpu.parallel.mesh import replicated_sharding
+    from nerf_rs_tpu.parallel.render_sharded import _render_flat_sharded
+
+    cfg = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=128,
+                       accel_sample_aabb=True, accel_aabb_probes=32)
+    pc = init_nerf_params(jax.random.key(0))
+    pf = init_nerf_params(jax.random.key(1))
+    grid = OccupancyGrid(occ=jnp.ones((8, 8, 8), bool),
+                         aabb_min=jnp.full((3,), -2.0, jnp.float32),
+                         aabb_max=jnp.full((3,), 2.0, jnp.float32))
+    grid = jax.device_put(grid, replicated_sharding(mesh8))
+    n_per_dev = 128
+    dirs = jnp.ones((n_per_dev * 8, 3), jnp.float32)
+    txt = _render_flat_sharded.lower(
+        pc, pf, jnp.zeros(3), dirs, jnp.float32(2.0), jnp.float32(6.0),
+        jax.random.key(0), n_per_dev, cfg, mesh8, grid=grid,
+    ).compile().as_text()
+    ops = _collective_ops(txt)
+    assert ops == [], f"accel+aabb sharded render compiled collectives: {ops}"
