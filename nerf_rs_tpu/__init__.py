@@ -15,8 +15,9 @@ merge-and-sort hierarchical pass) follow the reference implementation; see
 docstrings for file:line citations into /root/reference.
 """
 
-from nerf_rs_tpu.config import ArchConfig, RenderConfig, TrainConfig
+from nerf_rs_tpu.config import ArchConfig, HashGridConfig, RenderConfig, TrainConfig
 from nerf_rs_tpu.models.mlp import nerf_mlp, init_nerf_params
+from nerf_rs_tpu.models.hashgrid import hashgrid_mlp, init_hashgrid_params
 from nerf_rs_tpu.models.encoding import positional_encoding
 from nerf_rs_tpu.io.weights import load_nerf_params, save_nerf_params
 from nerf_rs_tpu.render import render_rays, render_image, render_image_aux
@@ -26,10 +27,14 @@ from nerf_rs_tpu.extract import extract_scene_mesh, save_ply
 __version__ = "0.1.0"
 
 __all__ = [
+    "ArchConfig",
+    "HashGridConfig",
     "RenderConfig",
     "TrainConfig",
     "nerf_mlp",
     "init_nerf_params",
+    "hashgrid_mlp",
+    "init_hashgrid_params",
     "positional_encoding",
     "load_nerf_params",
     "save_nerf_params",

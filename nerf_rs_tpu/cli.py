@@ -91,9 +91,36 @@ def cmd_render(args) -> int:
     from nerf_rs_tpu.utils.profiling import device_trace
 
     params, camera, _ = _load_scene(args)
-    cfg = _impl_for_params(_render_config(args), params)
+    cfg = _render_config(args)
+    if getattr(args, "checkpoint", None):
+        # Render a TRAINED checkpoint directly (any family) — the camera
+        # still comes from the scene assets / --camera. Hashgrid
+        # checkpoints carry their hyper-parameters in the model.json
+        # sidecar `train` writes.
+        from nerf_rs_tpu.io.checkpoint import (
+            hashgrid_render_config, load_model_config, restore_params,
+        )
+
+        ckpt_params, step = restore_params(args.checkpoint)
+        ckpt_params = jax.device_put(ckpt_params)
+        if "shared" in ckpt_params:
+            info = load_model_config(Path(args.checkpoint))
+            if info is None or info.get("model") != "hashgrid":
+                sys.exit(f"error: {args.checkpoint} holds a shared-network "
+                         "(hashgrid) checkpoint but no model.json sidecar "
+                         "was found next to it")
+            cfg = hashgrid_render_config(info, cfg)
+            params = {"coarse": ckpt_params["shared"],
+                      "fine": ckpt_params["shared"]}
+        else:
+            params = ckpt_params
+            cfg = _impl_for_params(cfg, params)
+        print(f"rendering checkpoint {args.checkpoint} (step {step})")
+    else:
+        cfg = _impl_for_params(cfg, params)
+    impl_label = cfg.impl if cfg.model == "mlp" else cfg.model
     print(f"Rendering {args.width}x{args.height} with {cfg.n_coarse} coarse and "
-          f"{cfg.n_fine} fine samples per ray ({cfg.impl}/{cfg.dtype})")
+          f"{cfg.n_fine} fine samples per ray ({impl_label}/{cfg.dtype})")
     grid = None
     if getattr(args, "accel_aabb", False) and not args.accel:
         # AABB clamping is meaningless without the grid — a silent
@@ -108,8 +135,17 @@ def cmd_render(args) -> int:
         t0 = time.perf_counter()
         if getattr(args, "accel_aabb", False):
             cfg = cfg.replace(accel_sample_aabb=True)
+        grid_kw = {}
+        if cfg.model == "hashgrid":
+            # The grid-sweep default mlp_fn assumes the MLP family; sweep
+            # the hash field itself instead (one build per CLI run, so the
+            # per-call closure costs one compile).
+            from nerf_rs_tpu.render import get_mlp_fn
+
+            _hash_mlp = get_mlp_fn(cfg)
+            grid_kw["mlp_fn"] = lambda p, x, d: _hash_mlp(p, x, d, sigma_only=True)
         grid = build_scene_grid(params["coarse"], params["fine"],
-                                resolution=args.accel_res)
+                                resolution=args.accel_res, **grid_kw)
         # Chunk-safe capacities for THIS camera/size: compaction overflow
         # would silently zero real samples (accel.suggest_capacities).
         chunk = None
@@ -330,58 +366,104 @@ def cmd_train(args) -> int:
         sharded_train_step,
     )
 
-    from nerf_rs_tpu.config import ArchConfig
+    from nerf_rs_tpu.config import ArchConfig, HashGridConfig
 
     arch = ArchConfig(width=args.width, v_width=args.v_width,
                       depth=args.depth, skip_at=args.skip_at)
-    impl = args.impl
-    if impl == "pallas":
-        from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
+    if args.model == "hashgrid":
+        # Instant-NGP family (models/hashgrid.py): one shared network for
+        # both passes, higher lr + tiny Adam eps (the paper's recipe —
+        # table gradients are minute under the default eps).
+        hcfg = HashGridConfig(
+            levels=args.hash_levels, table_log2=args.hash_table_log2,
+            res_max=args.hash_res_max,
+            aabb=(-args.hash_extent, args.hash_extent))
+        lr = args.lr if args.lr is not None else 1e-2
+        cfg = TrainConfig(
+            batch_rays=args.batch_rays, n_steps=args.steps,
+            checkpoint_every=args.checkpoint_every, seed=args.seed,
+            lr_init=lr, lr_final=lr * 1e-2, adam_eps=1e-15,
+            render=RenderConfig(
+                n_coarse=args.coarse_samples, n_fine=args.fine_samples,
+                ray_chunk=args.batch_rays, dtype=args.dtype,
+                model="hashgrid", hash=hcfg,
+            ),
+        )
+    else:
+        impl = args.impl
+        if impl == "pallas":
+            from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
 
-        if not supports_arch((arch.width, arch.v_width, arch.depth,
-                              arch.skip_at)):
-            # The fused kernel serves the 128-aligned family; other widths
-            # run on the XLA path (tiled fine at any width).
-            print(f"note: arch {arch} is not 128-aligned — "
-                  "student runs impl='xla'")
-            impl = "xla"
-    cfg = TrainConfig(
-        batch_rays=args.batch_rays,
-        n_steps=args.steps,
-        checkpoint_every=args.checkpoint_every,
-        seed=args.seed,
-        arch=arch,
-        render=RenderConfig(
-            n_coarse=args.coarse_samples, n_fine=args.fine_samples,
-            ray_chunk=args.batch_rays, impl=impl, dtype=args.dtype,
-        ),
-    )
+            if not supports_arch((arch.width, arch.v_width, arch.depth,
+                                  arch.skip_at)):
+                # The fused kernel serves the 128-aligned family; other widths
+                # run on the XLA path (tiled fine at any width).
+                print(f"note: arch {arch} is not 128-aligned — "
+                      "student runs impl='xla'")
+                impl = "xla"
+        cfg = TrainConfig(
+            batch_rays=args.batch_rays,
+            n_steps=args.steps,
+            checkpoint_every=args.checkpoint_every,
+            seed=args.seed,
+            arch=arch,
+            render=RenderConfig(
+                n_coarse=args.coarse_samples, n_fine=args.fine_samples,
+                ray_chunk=args.batch_rays, impl=impl, dtype=args.dtype,
+            ),
+        )
+        if args.lr is not None:
+            cfg = cfg.replace(lr_init=args.lr,
+                              lr_final=min(cfg.lr_final, args.lr))
     mesh, state = create_sharded_train_state(jax.random.key(cfg.seed), cfg)
     print(f"mesh: {mesh}; devices: {jax.device_count()}")
 
     if args.checkpoint_dir:
+        from nerf_rs_tpu.io.checkpoint import load_model_config, save_model_config
+
+        # Model-family sidecar: written on first use, guarded on resume
+        # (hash resolutions/aabb are not inferable from array shapes).
+        want_info = {"model": args.model}
+        if args.model == "hashgrid":
+            import dataclasses
+
+            want_info["hash"] = dataclasses.asdict(cfg.render.hash)
+        # Normalize through JSON so tuples (aabb) compare equal to the
+        # lists a read-back sidecar holds.
+        want_info = json.loads(json.dumps(want_info))
+        have_info = load_model_config(Path(args.checkpoint_dir))
+        if have_info is not None and have_info != want_info:
+            sys.exit(f"error: {args.checkpoint_dir}/model.json holds a "
+                     f"different model config than the flags request.\n"
+                     f"  checkpoint: {have_info}\n  requested:  {want_info}\n"
+                     "Match the flags or use a fresh --checkpoint-dir.")
+        save_model_config(Path(args.checkpoint_dir), want_info)
         ckpt = latest_checkpoint(args.checkpoint_dir)
         if ckpt is not None:
-            from nerf_rs_tpu.io.checkpoint import checkpoint_kernel_shapes
-            from nerf_rs_tpu.models.mlp import arch_shapes
             from nerf_rs_tpu.parallel.mesh import replicate
 
-            # Arch guard BEFORE the templated restore: orbax restores saved
-            # arrays whenever the tree *structure* matches, so resuming a
-            # checkpoint with different layer widths would silently ignore
-            # the --width/--v-width flags (and a depth mismatch dies with an
-            # opaque orbax structure error). Fail with the actual archs.
-            # Metadata-only read — no double restore of the array data.
-            want = arch_shapes(arch)
-            got = checkpoint_kernel_shapes(ckpt)
-            if got != want:
-                sys.exit(
-                    f"error: checkpoint {ckpt} holds a different architecture "
-                    f"than the requested --width/--v-width/--depth/--skip-at "
-                    f"({arch}).\n  checkpoint layers: {sorted(got.items())}\n"
-                    f"  requested layers:  {sorted(want.items())}\n"
-                    "Match the flags to the checkpoint or use a fresh "
-                    "--checkpoint-dir.")
+            if args.model != "hashgrid":
+                from nerf_rs_tpu.io.checkpoint import checkpoint_kernel_shapes
+                from nerf_rs_tpu.models.mlp import arch_shapes
+
+                # Arch guard BEFORE the templated restore: orbax restores
+                # saved arrays whenever the tree *structure* matches, so
+                # resuming a checkpoint with different layer widths would
+                # silently ignore the --width/--v-width flags (and a depth
+                # mismatch dies with an opaque orbax structure error). Fail
+                # with the actual archs. Metadata-only read — no double
+                # restore of the array data. (The hashgrid family is guarded
+                # by the model.json comparison above instead.)
+                want = arch_shapes(arch)
+                got = checkpoint_kernel_shapes(ckpt)
+                if got != want:
+                    sys.exit(
+                        f"error: checkpoint {ckpt} holds a different architecture "
+                        f"than the requested --width/--v-width/--depth/--skip-at "
+                        f"({arch}).\n  checkpoint layers: {sorted(got.items())}\n"
+                        f"  requested layers:  {sorted(want.items())}\n"
+                        "Match the flags to the checkpoint or use a fresh "
+                        "--checkpoint-dir.")
             # Restored leaves are host numpy — re-commit to the mesh with the
             # replicated sharding the fresh-start path uses.
             state = replicate(mesh, restore_checkpoint(ckpt, state))
@@ -395,10 +477,10 @@ def cmd_train(args) -> int:
         from nerf_rs_tpu.data import DistillationDataset
 
         teacher, _, _ = _load_scene(args)
-        # The teacher is always canonical — keep it on the user's requested
-        # impl (e.g. the fused kernel) even when the student fell back to
-        # XLA for a non-canonical arch.
-        teacher_cfg = cfg.render.replace(impl=args.impl)
+        # The teacher is always the canonical MLP — keep it on the user's
+        # requested impl (e.g. the fused kernel) even when the student fell
+        # back to XLA for a non-canonical arch, or is a hashgrid model.
+        teacher_cfg = cfg.render.replace(impl=args.impl, model="mlp")
         dataset = DistillationDataset(teacher, cfg=teacher_cfg, seed=cfg.seed)
         print("no --data given: distilling from the pretrained lego networks")
 
@@ -456,9 +538,11 @@ def cmd_train(args) -> int:
 
             from nerf_rs_tpu.accel import build_scene_grid, capacities_from_occupancy
 
-            g = build_scene_grid(
-                state.params["coarse"], state.params["fine"],
-                resolution=args.accel_res, mlp_fn=accel_mlp_fn)
+            from nerf_rs_tpu.train import split_params
+
+            pc, pf = split_params(state.params)
+            g = build_scene_grid(pc, pf, resolution=args.accel_res,
+                                 mlp_fn=accel_mlp_fn)
             occ = np.asarray(g.occ)
             # Near-empty check on the RAW grid: exploration cells would
             # mask an unformed density field and this guard would go dead.
@@ -537,15 +621,30 @@ def cmd_evaluate(args) -> int:
     if ckpt is None:
         sys.exit("error: no checkpoint found (--checkpoint or --checkpoint-dir)")
     # Template-free restore: the student's architecture (any ArchConfig
-    # member) is inferred from the checkpoint itself.
+    # member) is inferred from the checkpoint itself; a hashgrid family
+    # member carries its non-inferable hyper-parameters in the model.json
+    # sidecar written by `train`.
     params, step = restore_params(ckpt)
     params = jax.device_put(params)
-    cfg = _impl_for_params(cfg, params)
+    teacher_cfg = _impl_for_params(cfg, teacher)
+    if "shared" in params:
+        from nerf_rs_tpu.io.checkpoint import hashgrid_render_config, load_model_config
+
+        info = load_model_config(ckpt)
+        if info is None or info.get("model") != "hashgrid":
+            sys.exit(f"error: {ckpt} holds a shared-network (hashgrid) "
+                     "checkpoint but no model.json sidecar was found next "
+                     "to it — re-run train with --checkpoint-dir to write one")
+        cfg = hashgrid_render_config(info, cfg)
+        pc, pf = params["shared"], params["shared"]
+    else:
+        cfg = _impl_for_params(cfg, params)
+        pc, pf = params["coarse"], params["fine"]
 
     key = jax.random.key(args.seed)
     ref = np.asarray(render_image(teacher["coarse"], teacher["fine"], camera,
-                                  args.size, args.size, key, cfg))
-    img = np.asarray(render_image(params["coarse"], params["fine"], camera,
+                                  args.size, args.size, key, teacher_cfg))
+    img = np.asarray(render_image(pc, pf, camera,
                                   args.size, args.size, key, cfg))
     mse = float(np.mean((img - ref) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-12))
@@ -588,6 +687,11 @@ def cmd_export(args) -> int:
     from nerf_rs_tpu.io.checkpoint import export_reference_format, restore_params
 
     params, step = restore_params(args.checkpoint)
+    if "shared" in params:
+        sys.exit("error: hashgrid checkpoints have no reference .bin "
+                 "equivalent (the reference loader consumes dense-MLP "
+                 "layers only, src/lib.rs:108-174) — use evaluate/render "
+                 "with --checkpoint instead")
     export_reference_format(args.output, params)
     print(f"exported step {step} params to {args.output} "
           "(reference shapes.txt + .bin format)")
@@ -708,6 +812,9 @@ def main(argv=None) -> int:
                         "as PNG/PPM here")
     p.add_argument("--acc-output",
                    help="also write the accumulated-opacity map here")
+    p.add_argument("--checkpoint",
+                   help="render a trained checkpoint (any model family) "
+                        "instead of the pretrained weights")
     p.add_argument("--orbit", type=int, default=0,
                    help="render N turntable frames rotating the camera "
                         "about the scene's z-axis (output gets _000.. "
@@ -744,6 +851,22 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="train coarse+fine networks")
     _add_common(p)
+    p.add_argument("--model", default="mlp", choices=["mlp", "hashgrid"],
+                   help="field-network family: the reference MLP / "
+                        "ArchConfig students, or the Instant-NGP "
+                        "multiresolution hash grid (one shared network "
+                        "for both passes)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="initial learning rate (default: 5e-4 for mlp, "
+                        "1e-2 for hashgrid)")
+    p.add_argument("--hash-levels", type=int, default=16,
+                   help="hashgrid: resolution levels")
+    p.add_argument("--hash-table-log2", type=int, default=17,
+                   help="hashgrid: log2 table entries per level")
+    p.add_argument("--hash-res-max", type=int, default=1024,
+                   help="hashgrid: finest grid resolution")
+    p.add_argument("--hash-extent", type=float, default=2.0,
+                   help="hashgrid: scene AABB half-width (+-extent)")
     p.add_argument("--width", type=int, default=256,
                    help="trunk width (non-canonical values train a smaller "
                         "distillation student on the XLA path)")

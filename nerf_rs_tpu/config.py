@@ -13,6 +13,31 @@ import dataclasses
 
 
 @dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    """Multiresolution hash-encoding family (models/hashgrid.py; Mueller
+    et al. 2022, PAPERS.md). Frozen -> hashable -> jit-static, like every
+    other config here. Defaults follow the paper's quality/speed sweet
+    spot scaled to single-object scenes (lego): T=2^17 instead of 2^19
+    keeps the stacked table at 16 MiB f32 / 8 MiB bf16."""
+
+    levels: int = 16        # L resolution levels (paper Table 1)
+    table_log2: int = 17    # log2 hash-table entries per level (T)
+    features: int = 2       # feature channels per entry (F)
+    res_min: int = 16       # coarsest grid resolution (N_min)
+    res_max: int = 1024     # finest grid resolution (N_max)
+    width: int = 64         # density-MLP hidden width (1 hidden layer)
+    geo_features: int = 15  # geometry features fed to the color MLP
+    #                         (density output dim = 1 + geo_features)
+    color_width: int = 64   # color-MLP hidden width (2 hidden layers)
+    sh_degree: int = 4      # spherical-harmonics view encoding degree
+    aabb: tuple = (-2.0, 2.0)  # scene bounds per axis — the same
+    #                            convention as accel.build_occupancy_grid
+
+    def replace(self, **kw) -> "HashGridConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Static knobs for the render pipeline.
 
@@ -30,6 +55,12 @@ class RenderConfig:
     cdf_eps: float = 1e-6       # CDF denom clamp (lib.rs:343)
     ray_chunk: int = 8192       # rays per lax.map chunk when rendering images
     impl: str = "xla"           # MLP implementation: "xla" | "pallas"
+    model: str = "mlp"          # field network family: "mlp" (the canonical
+    #                             reference MLP / ArchConfig students) |
+    #                             "hashgrid" (models/hashgrid.py — always
+    #                             the XLA path; ``impl`` selects kernels
+    #                             within the mlp family only)
+    hash: HashGridConfig = dataclasses.field(default_factory=HashGridConfig)
     dtype: str = "float32"      # compute dtype for the MLP: "float32" | "bfloat16"
     sampling_impl: str = "xla"  # resampling chain: "xla" | "pallas" (fused kernel;
     #                             inference path only, Nc=64/Nf=128 specialization)
@@ -107,6 +138,10 @@ class TrainConfig:
     lr_decay_steps: int = 250_000
     n_steps: int = 200_000
     coarse_loss_weight: float = 1.0
+    adam_eps: float = 1e-8       # hash-grid training wants 1e-15 (Instant-NGP
+    #                              recipe: tiny table gradients would vanish
+    #                              under the default eps); cli train --model
+    #                              hashgrid sets it
     checkpoint_every: int = 10_000
     seed: int = 0
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)

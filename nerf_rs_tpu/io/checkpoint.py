@@ -85,6 +85,45 @@ def restore_params(path):
     return raw["params"], int(np.asarray(raw["step"]))
 
 
+def save_model_config(directory, info: dict) -> Path:
+    """Persist the model-family metadata (model name + non-inferable
+    hyper-parameters, e.g. HashGridConfig's resolutions/aabb) as a
+    ``model.json`` sidecar at the checkpoint ROOT. MLP-family checkpoints
+    don't need one (ArchConfig is inferred from kernel shapes), hash-grid
+    checkpoints do — table shapes alone don't determine the per-level
+    resolutions."""
+    import json
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    path = directory / "model.json"
+    path.write_text(json.dumps(info, indent=1))
+    return path
+
+
+def load_model_config(path) -> Optional[dict]:
+    """Read the ``model.json`` sidecar for a checkpoint path (the step dir
+    or the root dir); None when absent (pre-sidecar / MLP checkpoints)."""
+    import json
+
+    path = Path(path)
+    for candidate in (path / "model.json", path.parent / "model.json"):
+        if candidate.is_file():
+            return json.loads(candidate.read_text())
+    return None
+
+
+def hashgrid_render_config(info: dict, base):
+    """RenderConfig for a hash-grid checkpoint from its sidecar ``info``,
+    carried over the caller's sampling/chunk knobs in ``base``."""
+    from nerf_rs_tpu.config import HashGridConfig
+
+    hash_kw = dict(info.get("hash", {}))
+    if "aabb" in hash_kw:
+        hash_kw["aabb"] = tuple(hash_kw["aabb"])
+    return base.replace(model="hashgrid", hash=HashGridConfig(**hash_kw))
+
+
 def export_reference_format(directory, params) -> None:
     """Write {coarse,fine}/ weight dirs readable by the reference renderer
     (and by our loader)."""

@@ -1,0 +1,246 @@
+"""Multiresolution hash-grid NeRF (Instant-NGP family) — TPU-native.
+
+A second model family beyond the reference's single fixed MLP
+(/root/reference/src/network.rs:172-237): the multiresolution hash
+encoding of Mueller et al. 2022 ("Instant Neural Graphics Primitives with
+a Multiresolution Hash Encoding", PAPERS.md) replaces the 60-odd
+sinusoidal features + 8x256 trunk with L small feature tables gathered and
+trilinearly interpolated at each sample point, followed by a *tiny* MLP.
+Per-sample work drops from ~590 K MACs (canonical MLP) to ~10 K MACs +
+L*8 table gathers — the second big work-reduction axis (after occupancy
+culling) toward the 10 M rays/s north-star (BASELINE.md).
+
+TPU-first design decisions (vs the paper's CUDA kernels):
+
+- **One stacked gather.** All L levels live in a single ``(L*T, F)`` table;
+  per-level corner indices are offset by ``level*T`` and gathered in ONE
+  ``jnp.take`` — XLA lowers this to a single dynamic-gather sweep over HBM
+  instead of L kernel launches. The paper's per-level concatenated loop
+  maps badly to XLA's fusion model.
+- **Uniform table size.** Levels whose dense grid fits (``(N+1)^3 <= T``)
+  index directly (no collisions — matches the paper Sec. 4); coarser
+  levels simply waste table tail entries. A ragged per-level layout would
+  force dynamic shapes.
+- **Fixed shapes / no data-dependent control flow**: resolutions,
+  level count, and table sizes are static Python (compiled into the jit
+  program); everything else is pure array math.
+- **bf16 tables, f32 positions**: positions need f32 (a 1024^3 grid eats
+  ~10 bits of mantissa); the gathered features tolerate bf16 (halves the
+  HBM bytes of the dominant op). Controlled by the caller's ``dtype``.
+
+Interfaces mirror models/mlp.py exactly — ``hashgrid_mlp(params, points,
+viewdirs, sigma_only=...)`` returns ``(rgb, sigma)`` — so render_rays,
+the occupancy-culled path, training, and the sharded drivers all serve
+this family unchanged (render.get_mlp_fn dispatches on
+RenderConfig.model).
+
+Numerics notes vs the reference renderer contracts (SURVEY.md §7): the
+volume-integration chain (stratified/importance sampling, transmittance
+weights, white background) is shared and unchanged; only the
+field-evaluation network differs. Sigma uses the paper's truncated-exp
+activation (not the reference MLP's ReLU) — appropriate for a family
+trained from scratch here, and irrelevant to reference parity since the
+reference has no such model.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Spatial-hash primes from the paper (Sec. 3, eq. 4; pi_1 = 1 keeps
+# gradient coherence along x).
+_PRIMES = (1, 2654435761, 805459861)
+
+# Real spherical-harmonics basis constants (degree <= 4), the standard set
+# shared by Plenoxels / torch-ngp style view encoders.
+_C0 = 0.28209479177387814
+_C1 = 0.4886025119029199
+_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+       -1.0925484305920792, 0.5462742152960396)
+_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+       0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+       -0.5900435899266435)
+
+
+def sh_encoding(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """Real SH basis of unit ``dirs`` (..., 3) -> (..., degree**2).
+
+    Replaces the sinusoidal view-dir encoding of the canonical family
+    (network.rs:294-330) for the hash family, per the paper's pipeline.
+    """
+    if not 1 <= degree <= 4:
+        raise ValueError(f"sh_degree must be in [1, 4], got {degree}")
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full_like(x, _C0)]
+    if degree > 1:
+        out += [-_C1 * y, _C1 * z, -_C1 * x]
+    if degree > 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        out += [_C2[0] * xy, _C2[1] * yz, _C2[2] * (2.0 * zz - xx - yy),
+                _C2[3] * xz, _C2[4] * (xx - yy)]
+    if degree > 3:
+        out += [_C3[0] * y * (3.0 * xx - yy), _C3[1] * xy * z,
+                _C3[2] * y * (4.0 * zz - xx - yy),
+                _C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                _C3[4] * x * (4.0 * zz - xx - yy),
+                _C3[5] * z * (xx - yy), _C3[6] * x * (xx - 3.0 * yy)]
+    return jnp.stack(out, axis=-1)
+
+
+def level_resolutions(cfg) -> Tuple[int, ...]:
+    """Per-level grid resolutions N_l = floor(N_min * b**l) with the
+    paper's geometric growth factor b (eq. 2-3)."""
+    if cfg.levels == 1:
+        return (cfg.res_min,)
+    b = math.exp((math.log(cfg.res_max) - math.log(cfg.res_min))
+                 / (cfg.levels - 1))
+    return tuple(int(math.floor(cfg.res_min * b ** l)) for l in range(cfg.levels))
+
+
+def _corner_indices(i: jnp.ndarray, n: int, table_size: int) -> jnp.ndarray:
+    """Flat table index for integer corner coords ``i`` (..., 3) on an
+    (n+1)^3 grid: direct (collision-free) when the dense grid fits in the
+    table, spatial hash otherwise (paper Sec. 4)."""
+    if (n + 1) ** 3 <= table_size:
+        return (i[..., 0] * (n + 1) + i[..., 1]) * (n + 1) + i[..., 2]
+    # uint32 wrap-around multiply (the primes exceed int32); the final mask
+    # keeps the index in [0, T) so the cast back to int32 is exact.
+    iu = i.astype(jnp.uint32)
+    h = ((iu[..., 0] * np.uint32(_PRIMES[0]))
+         ^ (iu[..., 1] * np.uint32(_PRIMES[1]))
+         ^ (iu[..., 2] * np.uint32(_PRIMES[2])))
+    return (h & np.uint32(table_size - 1)).astype(jnp.int32)
+
+
+# The 8 trilinear corner offsets, (8, 3) — static.
+_CORNERS = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
+                    axis=-1).reshape(8, 3)
+
+
+def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Multiresolution hash encoding: (..., 3) world points -> (..., L*F).
+
+    ``tables``: (L, T, F) feature tables. Points are normalized into the
+    scene AABB (out-of-box points clamp to the border cell — their
+    features are whatever the border learned; the renderer's occupancy /
+    background handling keeps them inert, same stance as accel.py's
+    out-of-AABB = unoccupied rule).
+    """
+    L, T, F = tables.shape
+    resolutions = level_resolutions(cfg)
+    if L != len(resolutions):
+        raise ValueError(f"tables have {L} levels, config implies {len(resolutions)}")
+    lo, hi = cfg.aabb
+    x = (points.astype(jnp.float32) - lo) / (hi - lo)
+    x = jnp.clip(x, 0.0, 1.0)
+
+    idx_levels = []
+    frac_levels = []
+    for l, n in enumerate(resolutions):
+        pos = x * n                                   # corner lattice coords
+        i0 = jnp.clip(jnp.floor(pos), 0, n - 1).astype(jnp.int32)
+        frac_levels.append(pos - i0)                  # (..., 3) in [0, 1]
+        corners = i0[..., None, :] + jnp.asarray(_CORNERS, jnp.int32)  # (..., 8, 3)
+        idx_levels.append(_corner_indices(corners, n, T) + l * T)
+    idx = jnp.stack(idx_levels, axis=-2)              # (..., L, 8)
+    frac = jnp.stack(frac_levels, axis=-2)            # (..., L, 3)
+
+    # ONE gather over the flattened (L*T, F) table (see module docstring).
+    feats = jnp.take(tables.reshape(L * T, F), idx, axis=0)  # (..., L, 8, F)
+
+    # Trilinear weights: prod over xyz of (1-frac) or frac per corner bit.
+    c = jnp.asarray(_CORNERS, frac.dtype)             # (8, 3)
+    w = jnp.prod(frac[..., None, :] * c + (1.0 - frac[..., None, :]) * (1.0 - c),
+                 axis=-1)                             # (..., L, 8)
+    enc = jnp.sum(feats * w[..., None].astype(feats.dtype), axis=-2)  # (..., L, F)
+    return enc.reshape(*points.shape[:-1], L * F)
+
+
+def _trunc_exp(x: jnp.ndarray) -> jnp.ndarray:
+    """exp with a clipped input — the paper's density activation. The clip
+    zeroes gradients outside [-15, 15], preventing fp blow-ups early in
+    training."""
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
+
+
+def _dense(params, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    p = params[name]
+    return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def hashgrid_mlp(
+    params: Dict,
+    points: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    *,
+    cfg,
+    dtype="float32",
+    sigma_only: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate the hash-grid field at ``points`` (..., 3) with unit view
+    dirs (..., 3) broadcastable against the points' batch shape. Returns
+    ``(rgb (..., 3), sigma (...,))`` — the same contract as
+    models.mlp.nerf_mlp, so every render/train/accel path serves it.
+
+    Pipeline (paper Sec. 5.4): hash features (L*F) -> density MLP (1
+    hidden layer) -> sigma = trunc_exp(out[0]), geometry features =
+    the full output vector -> color MLP (2 hidden layers) on
+    concat(geometry, SH(viewdirs)) -> sigmoid RGB.
+    """
+    dt = jnp.dtype(dtype)
+    enc = hash_encode(params["hash_tables"].astype(dt), points, cfg).astype(dt)
+    h = jax.nn.relu(_dense(params, "sigma0", enc))
+    geo = _dense(params, "sigma1", h)                 # (..., 1 + geo_features)
+    sigma = _trunc_exp(geo[..., 0].astype(jnp.float32))
+    if sigma_only:
+        return jnp.zeros((*sigma.shape, 3), jnp.float32), sigma
+
+    sh = sh_encoding(viewdirs, cfg.sh_degree).astype(dt)
+    sh = jnp.broadcast_to(sh, (*geo.shape[:-1], sh.shape[-1]))
+    hc = jnp.concatenate([geo, sh], axis=-1)
+    hc = jax.nn.relu(_dense(params, "color0", hc))
+    hc = jax.nn.relu(_dense(params, "color1", hc))
+    rgb = jax.nn.sigmoid(_dense(params, "color2", hc).astype(jnp.float32))
+    return rgb, sigma
+
+
+def init_hashgrid_params(key: jax.Array, cfg, dtype=jnp.float32) -> Dict:
+    """Random init: tables U(-1e-4, 1e-4) (paper Sec. 4), Glorot-uniform
+    MLP kernels + zero biases (consistent with models.mlp.init_nerf_params).
+    """
+    T = 1 << cfg.table_log2
+    kt, *ks = jax.random.split(key, 6)
+    params: Dict = {
+        "hash_tables": jax.random.uniform(
+            kt, (cfg.levels, T, cfg.features), dtype, minval=-1e-4, maxval=1e-4)
+    }
+    enc_dim = cfg.levels * cfg.features
+    geo = 1 + cfg.geo_features
+    shapes = {
+        "sigma0": (enc_dim, cfg.width),
+        "sigma1": (cfg.width, geo),
+        "color0": (geo + cfg.sh_degree ** 2, cfg.color_width),
+        "color1": (cfg.color_width, cfg.color_width),
+        "color2": (cfg.color_width, 3),
+    }
+    for k, (name, (d_in, d_out)) in zip(ks, shapes.items()):
+        limit = math.sqrt(6.0 / (d_in + d_out))
+        params[name] = {
+            "kernel": jax.random.uniform(k, (d_in, d_out), dtype,
+                                         minval=-limit, maxval=limit),
+            "bias": jnp.zeros((d_out,), dtype),
+        }
+    return params
+
+
+def is_hashgrid_params(params) -> bool:
+    """True when a checkpoint/param pytree belongs to this family (used by
+    the CLI to infer the model from a loaded checkpoint, the same way
+    ArchConfig is inferred from dense-layer shapes)."""
+    return isinstance(params, dict) and "hash_tables" in params

@@ -32,8 +32,17 @@ from nerf_rs_tpu.ops.volume import composite, compute_weights
 
 
 def get_mlp_fn(cfg: RenderConfig):
-    """Resolve the MLP implementation: the pure-JAX oracle or the fused
-    Pallas TPU kernel (allclose-validated against the oracle)."""
+    """Resolve the field-network implementation: the pure-JAX oracle, the
+    fused Pallas TPU kernel (allclose-validated against the oracle), or
+    the hash-grid family (cfg.model == 'hashgrid' — gather-dominated, so
+    it always takes the XLA path; cfg.impl only selects kernels within
+    the mlp family)."""
+    if cfg.model == "hashgrid":
+        from nerf_rs_tpu.models.hashgrid import hashgrid_mlp
+
+        return functools.partial(hashgrid_mlp, cfg=cfg.hash, dtype=cfg.dtype)
+    if cfg.model != "mlp":
+        raise ValueError(f"unknown model {cfg.model!r} (expected 'mlp' or 'hashgrid')")
     if cfg.impl == "pallas":
         from nerf_rs_tpu.ops.kernels.fused_mlp import fused_nerf_mlp
 

@@ -36,15 +36,31 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         transition_steps=cfg.lr_decay_steps,
         decay_rate=cfg.lr_final / cfg.lr_init,
     )
-    return optax.adam(schedule)
+    return optax.adam(schedule, eps=cfg.adam_eps)
 
 
 def create_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
-    kc, kf = jax.random.split(key)
-    params = {"coarse": init_nerf_params(kc, arch=cfg.arch),
-              "fine": init_nerf_params(kf, arch=cfg.arch)}
+    if cfg.render.model == "hashgrid":
+        # The hash family trains ONE shared network queried by both the
+        # coarse and fine passes (the Instant-NGP convention) — gradients
+        # from both passes accumulate into the same tables.
+        from nerf_rs_tpu.models.hashgrid import init_hashgrid_params
+
+        params = {"shared": init_hashgrid_params(key, cfg.render.hash)}
+    else:
+        kc, kf = jax.random.split(key)
+        params = {"coarse": init_nerf_params(kc, arch=cfg.arch),
+                  "fine": init_nerf_params(kf, arch=cfg.arch)}
     opt_state = make_optimizer(cfg).init(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def split_params(params: Dict[str, Any]) -> Tuple[Any, Any]:
+    """(coarse, fine) views of a train-state param dict — either separate
+    subtrees or one 'shared' network serving both passes."""
+    if "shared" in params:
+        return params["shared"], params["shared"]
+    return params["coarse"], params["fine"]
 
 
 def nerf_loss(
@@ -72,8 +88,9 @@ def nerf_loss(
     rcfg = cfg.render
     if ray_ids is None:
         ray_ids = jnp.arange(batch["dirs"].shape[0], dtype=jnp.int32)
+    p_coarse, p_fine = split_params(params)
     rgb_fine, aux = render_rays(
-        params["coarse"], params["fine"],
+        p_coarse, p_fine,
         batch["origins"], batch["dirs"], batch["near"], batch["far"],
         key, rcfg, return_aux=True, grid=grid, ray_ids=ray_ids,
     )

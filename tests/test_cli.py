@@ -184,3 +184,51 @@ def test_cli_render_bare_export_weights(tmp_path, assets_dir):
                "--fine-samples", "8", "--ray-chunk", "64",
                "-o", str(out)])
     assert rc == 0 and out.exists()
+
+
+def test_cli_train_hashgrid_roundtrip(tmp_path, assets_dir, capsys):
+    """Hash-grid family end-to-end through the CLI: train (shared network,
+    model.json sidecar), resume-guard against mismatched hash flags,
+    evaluate, render --checkpoint, and the export guard (no reference .bin
+    equivalent exists for hash tables)."""
+    ck = str(tmp_path / "ck")
+    base = ["--coarse-samples", "4", "--fine-samples", "8",
+            "--ray-chunk", "64"]
+    hash_flags = ["--model", "hashgrid", "--hash-levels", "2",
+                  "--hash-table-log2", "10", "--hash-res-max", "16"]
+    assert main(["train", "--steps", "2", "--batch-rays", "64", *base,
+                 *hash_flags, "--checkpoint-dir", ck,
+                 "--log-every", "1"]) == 0
+    from nerf_rs_tpu.io.checkpoint import latest_checkpoint, load_model_config
+
+    ckpt = latest_checkpoint(ck)
+    assert ckpt is not None
+    info = load_model_config(ckpt)
+    assert info["model"] == "hashgrid" and info["hash"]["levels"] == 2
+
+    # Resume with different hash flags must fail loudly (resolutions are
+    # not inferable from the checkpoint arrays).
+    with pytest.raises(SystemExit):
+        main(["train", "--steps", "3", "--batch-rays", "64", *base,
+              "--model", "hashgrid", "--hash-levels", "4",
+              "--hash-table-log2", "10", "--hash-res-max", "16",
+              "--checkpoint-dir", ck])
+    # ...and with matching flags it resumes.
+    assert main(["train", "--steps", "3", "--batch-rays", "64", *base,
+                 *hash_flags, "--checkpoint-dir", ck,
+                 "--log-every", "1"]) == 0
+    assert latest_checkpoint(ck).name == "step_00000003"
+
+    assert main(["evaluate", "--checkpoint-dir", ck, "--size", "8",
+                 *base]) == 0
+    assert "PSNR vs teacher" in capsys.readouterr().out
+
+    out_png = tmp_path / "hash.png"
+    assert main(["render", "--checkpoint", str(latest_checkpoint(ck)),
+                 "--width", "8", "--height", "8", *base,
+                 "-o", str(out_png)]) == 0
+    assert out_png.exists()
+
+    with pytest.raises(SystemExit):
+        main(["export", "--checkpoint", str(latest_checkpoint(ck)),
+              "-o", str(tmp_path / "exp")])
