@@ -22,7 +22,11 @@ NERF_BENCH_DEADLINE (seconds, default 2400; 0 disables — emit an error
 record and exit if the backend wedges mid-run after a healthy init).
 Frontier knobs (rays/s-vs-PSNR curve, docs/PERF.md):
 NERF_BENCH_SAMPLES ("Nc,Nf", default "64,128" — "32,64" is the reference's
-own reduced wasm preset, src/lib.rs:603-612), NERF_BENCH_ACCEL_RES
+own reduced wasm preset, src/lib.rs:603-612), NERF_BENCH_MODEL
+(mlp|hashgrid: field-network family — hashgrid is the Instant-NGP
+encoding, random-init unless NERF_BENCH_CHECKPOINT), NERF_BENCH_CHECKPOINT
+(a cli-train checkpoint of any family to bench instead of the pretrained
+weights), NERF_BENCH_ACCEL_RES
 (occupancy grid resolution, default 128), NERF_BENCH_ACCEL_T
 (termination-culling T threshold override), NERF_BENCH_ACCEL_SLACK
 (termination slack in coarse bins). Accel runs always report
@@ -158,6 +162,10 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
         suffix += f"+arch{os.environ['NERF_BENCH_ARCH']}"
     if os.environ.get("NERF_BENCH_WEIGHTS"):
         suffix += "+customweights"
+    if os.environ.get("NERF_BENCH_MODEL", "mlp") != "mlp":
+        suffix += f"+{os.environ.get('NERF_BENCH_MODEL')}"
+    if os.environ.get("NERF_BENCH_CHECKPOINT"):
+        suffix += "+checkpoint"
     if mode == "train":
         return f"train rays/s (fwd+bwd+opt), {nc}+{nf} samples, {suffix}"
     return f"fwd render rays/s, lego {size}x{size} {nc}+{nf} samples, {suffix}"
@@ -325,6 +333,16 @@ def main() -> None:
         cfg = cfg.replace(accel_t_threshold=float(os.environ["NERF_BENCH_ACCEL_T"]))
     if "NERF_BENCH_ACCEL_SLACK" in os.environ:
         cfg = cfg.replace(accel_t_slack_bins=float(os.environ["NERF_BENCH_ACCEL_SLACK"]))
+    model_env = os.environ.get("NERF_BENCH_MODEL", "mlp")
+    if model_env == "hashgrid":
+        # Hash-grid family throughput (models/hashgrid.py) at the default
+        # full-size HashGridConfig. Render mode uses random-init params
+        # (rays/s is weight-value-independent) unless NERF_BENCH_CHECKPOINT
+        # points at a trained one; train mode measures full steps. The
+        # family always takes the XLA path (impl applies to the MLP family
+        # only) — keep the metric label honest.
+        impl = "xla"
+        cfg = cfg.replace(model="hashgrid", impl="xla")
     if os.environ.get("NERF_BENCH_MODE", "render") == "train":
         return _bench_train(cfg, repeats)
     # bfloat16 keeps image-level parity (~40 dB PSNR vs the f32 oracle, same
@@ -338,8 +356,47 @@ def main() -> None:
     camera = camera_from_golden(load_golden(assets / "tf_reference_samples.json"))
     arch_env = os.environ.get("NERF_BENCH_ARCH")
     weights_env = os.environ.get("NERF_BENCH_WEIGHTS")
+    ckpt_env = os.environ.get("NERF_BENCH_CHECKPOINT")
     student = bool(arch_env)
-    if arch_env:
+    if ckpt_env:
+        # A trained checkpoint of ANY family (cli train output): hashgrid
+        # checkpoints carry their hyper-parameters in the model.json
+        # sidecar; MLP-family ones are shape-inferred. Accel stays
+        # available — the grid is swept with the checkpoint's own field.
+        from nerf_rs_tpu.io.checkpoint import (
+            hashgrid_render_config, load_model_config, restore_params,
+        )
+        from pathlib import Path as _P
+
+        loaded, _step = restore_params(ckpt_env)
+        loaded = jax.device_put(loaded)
+        if "shared" in loaded:
+            info = load_model_config(_P(ckpt_env))
+            if info is None or info.get("model") != "hashgrid":
+                _print_error_record(
+                    f"{ckpt_env} is a shared-network checkpoint with no "
+                    "model.json sidecar")
+                return
+            cfg = hashgrid_render_config(info, cfg)
+            params_c = params_f = loaded["shared"]
+        else:
+            params_c, params_f = loaded["coarse"], loaded["fine"]
+            from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
+
+            if impl == "pallas" and not supports_arch(params_c):
+                impl = "xla"
+                cfg = cfg.replace(impl="xla")
+    elif model_env == "hashgrid":
+        # Random-init hash-grid throughput: speed side of the family before
+        # one is trained. Accel/PSNR machinery is skipped (random tables
+        # give a near-uniform density field — a grid would cull nothing
+        # meaningful).
+        from nerf_rs_tpu.models.hashgrid import init_hashgrid_params
+
+        params_c = params_f = jax.device_put(
+            init_hashgrid_params(jax.random.key(1), cfg.hash))
+        accel = False
+    elif arch_env:
         # Student-architecture throughput (ArchConfig family): random-init
         # params — rays/s is weight-value-independent, so this measures the
         # speed side of a distilled student before one is trained. The
@@ -408,7 +465,17 @@ def main() -> None:
         try:
             from nerf_rs_tpu.accel import build_scene_grid, calibrate_capacities
 
-            grid = build_scene_grid(params_c, params_f, resolution=_accel_res())
+            grid_kw = {}
+            if cfg.model == "hashgrid":
+                # The sweep's default mlp_fn assumes the MLP family — sweep
+                # the hash field itself (one compile per bench process).
+                from nerf_rs_tpu.render import get_mlp_fn
+
+                _hash_mlp = get_mlp_fn(cfg)
+                grid_kw["mlp_fn"] = (
+                    lambda p, x, d: _hash_mlp(p, x, d, sigma_only=True))
+            grid = build_scene_grid(params_c, params_f,
+                                    resolution=_accel_res(), **grid_kw)
             # Measured capacities: one instrumented render, then the timed
             # renders run with the post-culling live set + 15% margin.
             cfg = calibrate_capacities(params_c, params_f, grid, camera,

@@ -86,4 +86,11 @@ run tile2048_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=2
 # speed side of the distillation frontier before a student is trained):
 run student128_800      NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64
 run student128_s32x64   NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64 NERF_BENCH_SAMPLES=32,64
+# Hash-grid family throughput (Instant-NGP encoding, models/hashgrid.py;
+# random tables — the speed side before one is distilled). The gathers,
+# not matmuls, dominate: this measures XLA's TPU gather path at the
+# default L=16/T=2^17 config, full and reduced sample counts.
+run hashgrid_800        NERF_BENCH_SIZE=800 NERF_BENCH_MODEL=hashgrid
+run hashgrid_s32x64     NERF_BENCH_SIZE=800 NERF_BENCH_MODEL=hashgrid NERF_BENCH_SAMPLES=32,64
+run hashgrid_train      NERF_BENCH_MODE=train NERF_BENCH_MODEL=hashgrid
 echo "done -> $LOG" >&2

@@ -61,6 +61,13 @@ while [ "$steps" -lt "$MAX_STEPS" ]; do
 done
 
 ckpt=$(ls -d "$CKPT"/step_* 2>/dev/null | sort | tail -1)
+case "$TRAIN_ARGS" in *hashgrid*)
+  # Hash-grid checkpoints have no reference .bin equivalent (cli export
+  # guards this) — the quality number above is the deliverable.
+  echo "{\"final_psnr_db\": $psnr, \"steps\": $steps, \"target_db\": $TARGET_DB, \"eval_size\": $EVAL_SIZE}" \
+    | tee "$OUT/summary.json" | tee -a "$LOG"
+  exit 0
+;; esac
 echo "=== export $ckpt -> reference .bin format ===" | tee -a "$LOG"
 $TPU timeout 600 python -m nerf_rs_tpu export --checkpoint "$ckpt" -o "$OUT/exported" >> "$LOG" 2>&1 \
   && echo "export ok" | tee -a "$LOG"

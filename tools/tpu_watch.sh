@@ -59,6 +59,17 @@ while true; do
           NERF_BENCH_SIZE=800 timeout 1800 python bench.py >> "$LOG" 2>>"$STATUS"
         echo "$(date +%FT%T) trained-student bench appended to $LOG" >> "$STATUS"
       fi
+      echo "$(date +%FT%T) starting hashgrid distill (Instant-NGP family)" >> "$STATUS"
+      CONV_TRAIN_ARGS="--model hashgrid" CONV_TARGET_DB=28 CONV_MAX_STEPS=8000 \
+        bash tools/tpu_convergence.sh /tmp/tpu_hashgrid >> "$STATUS" 2>&1
+      echo "$(date +%FT%T) hashgrid distill finished (rc=$?)" >> "$STATUS"
+      hg_ckpt=$(ls -d /tmp/tpu_hashgrid/ckpts/step_* 2>/dev/null | sort | tail -1)
+      if [ -n "$hg_ckpt" ]; then
+        NERF_BENCH_MODEL=hashgrid NERF_BENCH_CHECKPOINT="$hg_ckpt" \
+          NERF_BENCH_LOCK_WAIT=900 NERF_BENCH_DEADLINE=1500 \
+          NERF_BENCH_SIZE=800 timeout 1800 python bench.py >> "$LOG" 2>>"$STATUS"
+        echo "$(date +%FT%T) trained-hashgrid bench appended to $LOG" >> "$STATUS"
+      fi
     fi
     echo "$(date +%FT%T) watcher done" >> "$STATUS"
     exit 0
