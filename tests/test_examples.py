@@ -36,6 +36,10 @@ def _run(script, *args):
      ("--cpu", "--steps", "2", "--batch-rays", "64", "--eval-size", "8")),
     ("10_geometry_export.py",
      ("--cpu", "--resolution", "16", "--out", "/tmp/ex10.ply")),
+    ("11_hashgrid.py",
+     ("--cpu", "--steps", "2", "--batch-rays", "64", "--levels", "2",
+      "--table-log2", "10", "--res-max", "16", "--eval-size", "8",
+      "--out", "/tmp/ex11.png")),
 ])
 def test_example_runs(script, args, assets_dir):
     r = _run(script, *args)
