@@ -187,3 +187,29 @@ def test_training_shared_network_reduces_loss():
         first = first if first is not None else float(metrics["loss"])
         last = float(metrics["loss"])
     assert last < first
+
+
+def test_hashgrid_sharded_render_matches_single_device():
+    """The hash family composes with shard_map: rays sharded over an
+    8-device mesh render BITWISE identically to the single-device path
+    (gathers from the replicated tables stay device-local)."""
+    from nerf_rs_tpu.ops.rays import Camera
+    from nerf_rs_tpu.parallel.mesh import make_mesh
+    from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
+    from nerf_rs_tpu.render import render_image
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = init_hashgrid_params(jax.random.key(11), TINY)
+    cfg = RenderConfig(n_coarse=8, n_fine=16, model="hashgrid", hash=TINY,
+                       ray_chunk=32)
+    cam = Camera(position=jnp.asarray([0.0, -4.0, 0.0]),
+                 forward=jnp.asarray([0.0, 1.0, 0.0]),
+                 up=jnp.asarray([0.0, 0.0, 1.0]),
+                 alpha_width=jnp.float32(0.4), alpha_height=jnp.float32(0.4),
+                 near=jnp.float32(2.0), far=jnp.float32(6.0))
+    key = jax.random.key(3)
+    single = render_image(params, params, cam, 16, 16, key, cfg)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = render_image_sharded(params, params, cam, 16, 16, key, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))

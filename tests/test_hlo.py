@@ -125,3 +125,56 @@ def test_sharded_accel_aabb_render_has_zero_collectives(mesh8):
     ).compile().as_text()
     ops = _collective_ops(txt)
     assert ops == [], f"accel+aabb sharded render compiled collectives: {ops}"
+
+
+def test_hashgrid_sharded_render_has_zero_collectives(mesh8):
+    """The hash family under shard_map: table gathers index REPLICATED
+    tables with device-local ray data — the compiled program must contain
+    no collective (a gather that resharded the (L*T, F) table across
+    devices would ride ICI on every sample batch)."""
+    from nerf_rs_tpu.config import HashGridConfig
+    from nerf_rs_tpu.models.hashgrid import init_hashgrid_params
+    from nerf_rs_tpu.parallel.render_sharded import _render_flat_sharded
+
+    hcfg = HashGridConfig(levels=4, table_log2=12, res_min=4, res_max=32)
+    cfg = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=128,
+                       model="hashgrid", hash=hcfg)
+    params = init_hashgrid_params(jax.random.key(0), hcfg)
+    n_per_dev = 128
+    dirs = jnp.ones((n_per_dev * 8, 3), jnp.float32)
+    txt = _render_flat_sharded.lower(
+        params, params, jnp.zeros(3), dirs, jnp.float32(2.0),
+        jnp.float32(6.0), jax.random.key(0), n_per_dev, cfg, mesh8,
+    ).compile().as_text()
+    ops = _collective_ops(txt)
+    assert ops == [], f"hashgrid sharded render compiled with collectives: {ops}"
+
+
+def test_hashgrid_train_step_has_one_fused_all_reduce(mesh8):
+    """Data-parallel hashgrid training: the 16.8M-entry table gradient and
+    the tiny MLP gradients must still fuse into EXACTLY one all-reduce."""
+    from nerf_rs_tpu.config import HashGridConfig
+    from nerf_rs_tpu.parallel.train_sharded import (
+        _sharded_step, create_sharded_train_state, shard_batch,
+    )
+
+    hcfg = HashGridConfig(levels=4, table_log2=12, res_min=4, res_max=32)
+    tc = TrainConfig(batch_rays=64, adam_eps=1e-15,
+                     render=RenderConfig(n_coarse=8, n_fine=8, ray_chunk=64,
+                                         model="hashgrid", hash=hcfg))
+    mesh, state = create_sharded_train_state(jax.random.key(0), tc)
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = shard_batch(mesh, {
+        "origins": np.zeros((64, 3), np.float32), "dirs": d,
+        "rgb": rng.uniform(size=(64, 3)).astype(np.float32),
+        "near": np.float32(2.0), "far": np.float32(6.0),
+    })
+    txt = _sharded_step.lower(
+        mesh, state, batch, jax.random.key(1), tc,
+        jnp.zeros((), jnp.float32), 64 // mesh.devices.size, False,
+    ).compile().as_text()
+    ops = _collective_ops(txt)
+    assert ops == ["all-reduce"], (
+        f"expected exactly ONE fused all-reduce, compiled {ops}")
