@@ -24,10 +24,18 @@ _render_lock = threading.Lock()
 _state: dict = {}
 
 
+# "keep the current checkpoint" default for init_renderer — None must stay
+# distinct (it explicitly restores the pretrained weights), or every bare
+# init_renderer() from render_image_rgba would reset a checkpoint-serving
+# renderer.
+_KEEP = object()
+
+
 def init_renderer(assets_dir: Optional[str] = None,
                   cfg: Optional[RenderConfig] = None,
                   accel: Optional[bool] = None,
-                  accel_res: int = 128) -> None:
+                  accel_res: int = 128,
+                  checkpoint=_KEEP) -> None:
     """Load and cache the coarse/fine networks and camera (idempotent).
 
     ``accel=True`` additionally bakes an occupancy grid
@@ -36,12 +44,22 @@ def init_renderer(assets_dir: Optional[str] = None,
     image size on first use (accel.calibrate_capacities) and cached.
     ``accel=None`` (the default) keeps the current mode on an
     already-initialized renderer; ``accel=False`` explicitly disables it.
+
+    ``checkpoint`` serves a cli-train checkpoint (any model family) instead
+    of the pretrained weights — the camera still comes from the scene
+    assets. Hashgrid checkpoints resolve their hyper-parameters from the
+    model.json sidecar written by train. Left unset it keeps the current
+    one (like ``accel=None``); an explicit ``checkpoint=None`` restores
+    the pretrained weights.
     """
     from nerf_rs_tpu.io.golden import camera_from_golden
     from nerf_rs_tpu.io.weights import find_lego_assets, load_scene_assets
 
     with _lock:
+        if checkpoint is _KEEP:
+            checkpoint = _state.get("checkpoint")
         if (_state.get("ready") and assets_dir is None and cfg is None
+                and checkpoint == _state.get("checkpoint")
                 and (accel is None
                      or (accel == (_state.get("grid") is not None)
                          and (not accel
@@ -61,21 +79,43 @@ def init_renderer(assets_dir: Optional[str] = None,
 
         assets = Path(assets)
         # The grid is a pure function of (weights, resolution) — rebake
-        # only when either changed.
+        # only when any of them changed.
         reuse_grid = (_state.get("grid") is not None
                       and _state.get("accel_res") == accel_res
-                      and _state.get("assets") == assets)
+                      and _state.get("assets") == assets
+                      and _state.get("checkpoint") == checkpoint)
         _state["assets"] = assets
+        _state["checkpoint"] = checkpoint
         # Directory bundle or single-file .npz (cli pack) — the latter is
         # the reference's wasm weight-embedding analogue (weights.rs:1-100).
         params, golden = load_scene_assets(assets)
-        _state["params"] = params
         _state["camera"] = camera_from_golden(golden)
         # Reference wasm used reduced sample counts (32, 64) for interactive
         # latency (lib.rs:604-607); on TPU the full counts stay interactive.
         # Re-inits that only flip the accel mode keep the configured cfg.
         new_cfg = cfg or _state.get("cfg") or RenderConfig(ray_chunk=16384)
-        if new_cfg.impl == "pallas":
+        new_cfg = new_cfg.replace(model="mlp")
+        if checkpoint is not None:
+            import jax
+
+            from nerf_rs_tpu.io.checkpoint import (
+                hashgrid_render_config, load_model_config, restore_params,
+            )
+
+            loaded, _step = restore_params(checkpoint)
+            loaded = jax.device_put(loaded)
+            if "shared" in loaded:
+                info = load_model_config(Path(checkpoint))
+                if info is None or info.get("model") != "hashgrid":
+                    raise FileNotFoundError(
+                        f"{checkpoint} is a shared-network checkpoint with "
+                        "no model.json sidecar next to it")
+                new_cfg = hashgrid_render_config(info, new_cfg)
+                params = {"coarse": loaded["shared"], "fine": loaded["shared"]}
+            else:
+                params = loaded
+        _state["params"] = params
+        if new_cfg.model == "mlp" and new_cfg.impl == "pallas":
             from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
 
             if not supports_arch(params["coarse"]):
@@ -87,9 +127,18 @@ def init_renderer(assets_dir: Optional[str] = None,
             if not reuse_grid:
                 from nerf_rs_tpu.accel import build_scene_grid
 
+                grid_kw = {}
+                if new_cfg.model == "hashgrid":
+                    # Sweep the checkpoint's own field (the default
+                    # mlp_fn assumes the MLP family).
+                    from nerf_rs_tpu.render import get_mlp_fn
+
+                    _hash_mlp = get_mlp_fn(new_cfg)
+                    grid_kw["mlp_fn"] = (
+                        lambda p, x, d: _hash_mlp(p, x, d, sigma_only=True))
                 _state["grid"] = build_scene_grid(
                     _state["params"]["coarse"], _state["params"]["fine"],
-                    resolution=accel_res,
+                    resolution=accel_res, **grid_kw,
                 )
             _state["accel_res"] = accel_res
         else:

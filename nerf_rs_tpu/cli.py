@@ -937,11 +937,14 @@ def main(argv=None) -> int:
     p.add_argument("--accel", action="store_true",
                    help="serve through the occupancy-grid fast path")
     p.add_argument("--accel-res", type=int, default=128)
+    p.add_argument("--checkpoint",
+                   help="serve a cli-train checkpoint (any model family)")
     p.set_defaults(fn=lambda a: __import__(
         "nerf_rs_tpu.serve", fromlist=["main"]
     ).main(["--port", str(a.port), "--host", a.host]
            + (["--warmup"] if a.warmup else [])
-           + (["--accel", "--accel-res", str(a.accel_res)] if a.accel else [])))
+           + (["--accel", "--accel-res", str(a.accel_res)] if a.accel else [])
+           + (["--checkpoint", a.checkpoint] if a.checkpoint else [])))
 
     p = sub.add_parser("info", help="device/mesh info")
     p.add_argument("--device-timeout", type=float, default=60.0,

@@ -120,12 +120,18 @@ def main(argv=None) -> int:
                              "(one-time grid bake + per-size calibration)")
     parser.add_argument("--accel-res", type=int, default=128,
                         help="occupancy grid resolution per axis")
+    parser.add_argument("--checkpoint",
+                        help="serve a cli-train checkpoint (any model "
+                             "family) instead of the pretrained weights")
     args = parser.parse_args(argv)
-    if args.accel:
+    if args.accel or args.checkpoint:
         from nerf_rs_tpu.api import init_renderer
 
-        print(f"baking {args.accel_res}^3 occupancy grid...")
-        init_renderer(accel=True, accel_res=args.accel_res)
+        if args.accel:
+            print(f"baking {args.accel_res}^3 occupancy grid...")
+        init_renderer(accel=True if args.accel else None,
+                      accel_res=args.accel_res,
+                      checkpoint=args.checkpoint)
     if args.warmup:
         from nerf_rs_tpu.api import render_image_rgba
 

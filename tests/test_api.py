@@ -100,3 +100,34 @@ def test_init_from_npz_bundle(assets_dir, tmp_path):
     api.init_renderer(assets_dir=assets_dir, cfg=SMALL)
     from_dir = api.render_image_rgba(8, 8, seed=0)
     np.testing.assert_array_equal(from_bundle, from_dir)
+
+
+def test_serve_trained_checkpoint(assets_dir, tmp_path):
+    """init_renderer(checkpoint=...) serves a cli-train checkpoint of any
+    family — here a hashgrid one (model.json sidecar resolves the
+    hyper-parameters) — and switching back to assets restores the MLP."""
+    from nerf_rs_tpu.cli import main
+
+    ck = str(tmp_path / "ck")
+    assert main(["train", "--model", "hashgrid", "--hash-levels", "2",
+                 "--hash-table-log2", "10", "--hash-res-max", "16",
+                 "--coarse-samples", "4", "--fine-samples", "8",
+                 "--ray-chunk", "64", "--batch-rays", "64", "--steps", "1",
+                 "--checkpoint-dir", ck, "--log-every", "1"]) == 0
+    from nerf_rs_tpu.io.checkpoint import latest_checkpoint
+
+    ckpt = str(latest_checkpoint(ck))
+    api.init_renderer(cfg=SMALL, checkpoint=ckpt)
+    assert api._state["cfg"].model == "hashgrid"
+    rgba = api.render_image_rgba(8, 8, seed=0)
+    assert rgba.shape == (8 * 8 * 4,) and rgba.dtype == np.uint8
+    assert bool((rgba[3::4] == 255).all())
+    # idempotent re-init with the same checkpoint keeps state
+    grid_obj = api._state["params"]
+    api.init_renderer(checkpoint=ckpt)
+    assert api._state["params"] is grid_obj
+    # dropping the checkpoint restores the pretrained MLP serving path
+    api.init_renderer(cfg=SMALL, checkpoint=None)
+    assert api._state["cfg"].model == "mlp"
+    rgba2 = api.render_image_rgba(8, 8, seed=0)
+    assert rgba2.shape == (8 * 8 * 4,)
