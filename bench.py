@@ -379,6 +379,14 @@ def main() -> None:
                 return
             cfg = hashgrid_render_config(info, cfg)
             params_c = params_f = loaded["shared"]
+            # Keep the metric label honest even when NERF_BENCH_MODEL was
+            # not set alongside the checkpoint: the family always runs the
+            # XLA path, and _metric_name derives the '+hashgrid' tag from
+            # the env var (hashgrid and MLP checkpoints must not alias one
+            # metric-keyed series).
+            impl = "xla"
+            cfg = cfg.replace(impl="xla")
+            os.environ["NERF_BENCH_MODEL"] = "hashgrid"
         else:
             params_c, params_f = loaded["coarse"], loaded["fine"]
             from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
@@ -465,15 +473,10 @@ def main() -> None:
         try:
             from nerf_rs_tpu.accel import build_scene_grid, calibrate_capacities
 
-            grid_kw = {}
-            if cfg.model == "hashgrid":
-                # The sweep's default mlp_fn assumes the MLP family — sweep
-                # the hash field itself (one compile per bench process).
-                from nerf_rs_tpu.render import get_mlp_fn
+            from nerf_rs_tpu.accel import hashgrid_grid_kwargs
 
-                _hash_mlp = get_mlp_fn(cfg)
-                grid_kw["mlp_fn"] = (
-                    lambda p, x, d: _hash_mlp(p, x, d, sigma_only=True))
+            grid_kw = (hashgrid_grid_kwargs(cfg)
+                       if cfg.model == "hashgrid" else {})
             grid = build_scene_grid(params_c, params_f,
                                     resolution=_accel_res(), **grid_kw)
             # Measured capacities: one instrumented render, then the timed

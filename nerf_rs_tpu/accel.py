@@ -104,6 +104,26 @@ def _grid_sweep(params, pts, sigma_threshold, *, mlp_fn, chunk: int, r: int,
     return occ
 
 
+@functools.lru_cache(maxsize=None)
+def hashgrid_grid_kwargs(cfg) -> dict:
+    """build_scene_grid kwargs for a hashgrid RenderConfig: sweep the hash
+    field itself over ITS aabb. The default sweep assumes the MLP family
+    (fused/oracle mlp_fn) and the default (-2, 2) box — a hashgrid trained
+    with a wider --hash-extent would otherwise have everything outside
+    (-2, 2) silently culled (out-of-AABB = unoccupied, query_occupancy).
+    Cached per (frozen, hashable) cfg so the sigma_fn identity is stable —
+    _grid_sweep's jit cache keys on it (a per-call closure would recompile
+    every grid refresh)."""
+    from nerf_rs_tpu.render import get_mlp_fn
+
+    mlp = get_mlp_fn(cfg)
+
+    def sigma_fn(p, x, d):
+        return mlp(p, x, d, sigma_only=True)
+
+    return {"mlp_fn": sigma_fn, "aabb": cfg.hash.aabb}
+
+
 def build_occupancy_grid(
     params,
     *,

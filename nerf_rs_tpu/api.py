@@ -84,12 +84,19 @@ def init_renderer(assets_dir: Optional[str] = None,
                       and _state.get("accel_res") == accel_res
                       and _state.get("assets") == assets
                       and _state.get("checkpoint") == checkpoint)
-        _state["assets"] = assets
-        _state["checkpoint"] = checkpoint
+        # EVERYTHING fallible happens on locals first; _state is committed
+        # in one block at the end. A failed init (bad checkpoint path,
+        # missing sidecar, grid bake error) must leave the previous
+        # renderer fully intact — a half-written _state would make the
+        # early-return above claim the new config is being served.
         # Directory bundle or single-file .npz (cli pack) — the latter is
         # the reference's wasm weight-embedding analogue (weights.rs:1-100).
-        params, golden = load_scene_assets(assets)
-        _state["camera"] = camera_from_golden(golden)
+        # When a checkpoint supplies the weights, the teacher params are
+        # never used — skip their device upload (~70-100 ms/MB on the
+        # tunneled backend) and keep only the camera.
+        params, golden = load_scene_assets(assets,
+                                           device_put=checkpoint is None)
+        camera = camera_from_golden(golden)
         # Reference wasm used reduced sample counts (32, 64) for interactive
         # latency (lib.rs:604-607); on TPU the full counts stay interactive.
         # Re-inits that only flip the accel mode keep the configured cfg.
@@ -114,7 +121,6 @@ def init_renderer(assets_dir: Optional[str] = None,
                 params = {"coarse": loaded["shared"], "fine": loaded["shared"]}
             else:
                 params = loaded
-        _state["params"] = params
         if new_cfg.model == "mlp" and new_cfg.impl == "pallas":
             from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
 
@@ -122,27 +128,31 @@ def init_renderer(assets_dir: Optional[str] = None,
                 # Serving arbitrary weights (e.g. an unaligned student .npz)
                 # must not crash at trace time — same fallback as the CLI.
                 new_cfg = new_cfg.replace(impl="xla")
-        _state["cfg"] = new_cfg
         if accel:
-            if not reuse_grid:
-                from nerf_rs_tpu.accel import build_scene_grid
+            if reuse_grid:
+                grid = _state["grid"]
+            else:
+                from nerf_rs_tpu.accel import build_scene_grid, hashgrid_grid_kwargs
 
-                grid_kw = {}
-                if new_cfg.model == "hashgrid":
-                    # Sweep the checkpoint's own field (the default
-                    # mlp_fn assumes the MLP family).
-                    from nerf_rs_tpu.render import get_mlp_fn
-
-                    _hash_mlp = get_mlp_fn(new_cfg)
-                    grid_kw["mlp_fn"] = (
-                        lambda p, x, d: _hash_mlp(p, x, d, sigma_only=True))
-                _state["grid"] = build_scene_grid(
-                    _state["params"]["coarse"], _state["params"]["fine"],
+                grid_kw = (hashgrid_grid_kwargs(new_cfg)
+                           if new_cfg.model == "hashgrid" else {})
+                grid = build_scene_grid(
+                    params["coarse"], params["fine"],
                     resolution=accel_res, **grid_kw,
                 )
+        else:
+            grid = None
+
+        # ---- commit (nothing below can fail) ----
+        _state["assets"] = assets
+        _state["checkpoint"] = checkpoint
+        _state["params"] = params
+        _state["camera"] = camera
+        _state["cfg"] = new_cfg
+        _state["grid"] = grid
+        if accel:
             _state["accel_res"] = accel_res
         else:
-            _state["grid"] = None
             _state.pop("accel_res", None)
         _state["size_cfgs"] = {}
         _state["ready"] = True

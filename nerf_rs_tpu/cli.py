@@ -21,7 +21,11 @@ import time
 from pathlib import Path
 
 
-def _load_scene(args):
+def _load_scene(args, device_put: bool = True):
+    """``device_put=False`` skips the teacher weight upload for callers
+    that only need the camera/golden (e.g. render --checkpoint, where the
+    checkpoint supplies the weights — uploads cost ~70-100 ms/MB on the
+    tunneled backend)."""
     from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
     from nerf_rs_tpu.io.weights import find_lego_assets, load_scene_assets
 
@@ -29,7 +33,7 @@ def _load_scene(args):
     if assets is None:
         sys.exit("error: no weight assets found (set --weights or $NERF_RS_TPU_ASSETS)")
     try:
-        params, golden = load_scene_assets(assets)
+        params, golden = load_scene_assets(assets, device_put=device_put)
     except FileNotFoundError:
         # A bare weight export (coarse/ + fine/, no camera JSON — e.g.
         # `cli export` output): usable with an explicit --camera, or with
@@ -90,7 +94,8 @@ def cmd_render(args) -> int:
 
     from nerf_rs_tpu.utils.profiling import device_trace
 
-    params, camera, _ = _load_scene(args)
+    params, camera, _ = _load_scene(
+        args, device_put=not getattr(args, "checkpoint", None))
     cfg = _render_config(args)
     if getattr(args, "checkpoint", None):
         # Render a TRAINED checkpoint directly (any family) — the camera
@@ -135,15 +140,9 @@ def cmd_render(args) -> int:
         t0 = time.perf_counter()
         if getattr(args, "accel_aabb", False):
             cfg = cfg.replace(accel_sample_aabb=True)
-        grid_kw = {}
-        if cfg.model == "hashgrid":
-            # The grid-sweep default mlp_fn assumes the MLP family; sweep
-            # the hash field itself instead (one build per CLI run, so the
-            # per-call closure costs one compile).
-            from nerf_rs_tpu.render import get_mlp_fn
+        from nerf_rs_tpu.accel import hashgrid_grid_kwargs
 
-            _hash_mlp = get_mlp_fn(cfg)
-            grid_kw["mlp_fn"] = lambda p, x, d: _hash_mlp(p, x, d, sigma_only=True)
+        grid_kw = hashgrid_grid_kwargs(cfg) if cfg.model == "hashgrid" else {}
         grid = build_scene_grid(params["coarse"], params["fine"],
                                 resolution=args.accel_res, **grid_kw)
         # Chunk-safe capacities for THIS camera/size: compaction overflow
@@ -421,8 +420,12 @@ def cmd_train(args) -> int:
     if args.checkpoint_dir:
         from nerf_rs_tpu.io.checkpoint import load_model_config, save_model_config
 
-        # Model-family sidecar: written on first use, guarded on resume
-        # (hash resolutions/aabb are not inferable from array shapes).
+        # Model-family sidecar (hash resolutions/aabb are not inferable
+        # from array shapes). Guards run against EXISTING checkpoints only
+        # — a stale sidecar from a run that died before its first
+        # checkpoint must not block a retry with different flags — and the
+        # sidecar is (re)written only after every guard passes, so a
+        # mismatched invocation cannot corrupt the directory's metadata.
         want_info = {"model": args.model}
         if args.model == "hashgrid":
             import dataclasses
@@ -431,17 +434,29 @@ def cmd_train(args) -> int:
         # Normalize through JSON so tuples (aabb) compare equal to the
         # lists a read-back sidecar holds.
         want_info = json.loads(json.dumps(want_info))
-        have_info = load_model_config(Path(args.checkpoint_dir))
-        if have_info is not None and have_info != want_info:
-            sys.exit(f"error: {args.checkpoint_dir}/model.json holds a "
-                     f"different model config than the flags request.\n"
-                     f"  checkpoint: {have_info}\n  requested:  {want_info}\n"
-                     "Match the flags or use a fresh --checkpoint-dir.")
-        save_model_config(Path(args.checkpoint_dir), want_info)
         ckpt = latest_checkpoint(args.checkpoint_dir)
         if ckpt is not None:
+            from nerf_rs_tpu.io.checkpoint import checkpoint_param_keys
             from nerf_rs_tpu.parallel.mesh import replicate
 
+            # Family guard first (metadata-only): resuming an MLP dir with
+            # --model hashgrid (or vice versa) would otherwise die in an
+            # opaque orbax structure error — or worse, pass the sidecar
+            # check on a pre-sidecar dir.
+            want_keys = {"shared"} if args.model == "hashgrid" else {"coarse", "fine"}
+            got_keys = checkpoint_param_keys(ckpt)
+            if got_keys != want_keys:
+                sys.exit(
+                    f"error: checkpoint {ckpt} holds params {sorted(got_keys)} "
+                    f"but --model {args.model} trains {sorted(want_keys)} — "
+                    "match the --model flag to the checkpoint or use a fresh "
+                    "--checkpoint-dir.")
+            have_info = load_model_config(Path(args.checkpoint_dir))
+            if have_info is not None and have_info != want_info:
+                sys.exit(f"error: {args.checkpoint_dir}/model.json holds a "
+                         f"different model config than the flags request.\n"
+                         f"  checkpoint: {have_info}\n  requested:  {want_info}\n"
+                         "Match the flags or use a fresh --checkpoint-dir.")
             if args.model != "hashgrid":
                 from nerf_rs_tpu.io.checkpoint import checkpoint_kernel_shapes
                 from nerf_rs_tpu.models.mlp import arch_shapes
@@ -468,6 +483,7 @@ def cmd_train(args) -> int:
             # replicated sharding the fresh-start path uses.
             state = replicate(mesh, restore_checkpoint(ckpt, state))
             print(f"resumed from {ckpt} at step {int(state.step)}")
+        save_model_config(Path(args.checkpoint_dir), want_info)
 
     if args.data:
         from nerf_rs_tpu.data import BlenderDataset
@@ -510,13 +526,21 @@ def cmd_train(args) -> int:
         if args.accel_every:
             # ONE function object for every refresh: mlp_fn identity keys
             # accel._grid_sweep's jit cache, so a per-refresh lambda would
-            # recompile the sweep every N steps.
-            from nerf_rs_tpu.render import get_mlp_fn
+            # recompile the sweep every N steps. Hashgrid additionally
+            # threads its own aabb (accel.hashgrid_grid_kwargs, cached).
+            if cfg.render.model == "hashgrid":
+                from nerf_rs_tpu.accel import hashgrid_grid_kwargs
 
-            _mlp = get_mlp_fn(cfg.render)
+                grid_build_kw = hashgrid_grid_kwargs(cfg.render)
+            else:
+                from nerf_rs_tpu.render import get_mlp_fn
 
-            def accel_mlp_fn(p, x, d):
-                return _mlp(p, x, d, sigma_only=True)
+                _mlp = get_mlp_fn(cfg.render)
+
+                def accel_mlp_fn(p, x, d):
+                    return _mlp(p, x, d, sigma_only=True)
+
+                grid_build_kw = {"mlp_fn": accel_mlp_fn}
 
         def refresh_grid(step):
             """Occupancy-culled training: bake the grid from the CURRENT
@@ -542,7 +566,7 @@ def cmd_train(args) -> int:
 
             pc, pf = split_params(state.params)
             g = build_scene_grid(pc, pf, resolution=args.accel_res,
-                                 mlp_fn=accel_mlp_fn)
+                                 **grid_build_kw)
             occ = np.asarray(g.occ)
             # Near-empty check on the RAW grid: exploration cells would
             # mask an unformed density field and this guard would go dead.

@@ -68,6 +68,18 @@ def checkpoint_kernel_shapes(path):
             for layer, leaf in tree["params"]["coarse"].items()}
 
 
+def checkpoint_param_keys(path) -> set:
+    """Top-level param-subtree keys of a checkpoint ({'coarse', 'fine'} for
+    the MLP family, {'shared'} for hashgrid) from orbax metadata only — the
+    cheap family check before a templated restore."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        md = ckptr.metadata(Path(path).absolute())
+    tree = md.item_metadata if hasattr(md, "item_metadata") else md
+    return set(tree["params"].keys())
+
+
 def restore_params(path):
     """Restore only ``(params, step)`` from a checkpoint, template-free.
 

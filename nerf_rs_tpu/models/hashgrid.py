@@ -94,13 +94,16 @@ def sh_encoding(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
 
 
 def level_resolutions(cfg) -> Tuple[int, ...]:
-    """Per-level grid resolutions N_l = floor(N_min * b**l) with the
-    paper's geometric growth factor b (eq. 2-3)."""
+    """Per-level grid resolutions N_l ~= N_min * b**l with the paper's
+    geometric growth factor b (eq. 2-3). round(), not the paper's floor():
+    floor turns float noise in b**l into off-by-one resolutions (the
+    default 16->1024 over 16 levels lands the last level at 1023), and the
+    config's res_min/res_max contract should hold exactly at both ends."""
     if cfg.levels == 1:
         return (cfg.res_min,)
     b = math.exp((math.log(cfg.res_max) - math.log(cfg.res_min))
                  / (cfg.levels - 1))
-    return tuple(int(math.floor(cfg.res_min * b ** l)) for l in range(cfg.levels))
+    return tuple(int(round(cfg.res_min * b ** l)) for l in range(cfg.levels))
 
 
 def _corner_indices(i: jnp.ndarray, n: int, table_size: int) -> jnp.ndarray:

@@ -131,3 +131,17 @@ def test_serve_trained_checkpoint(assets_dir, tmp_path):
     assert api._state["cfg"].model == "mlp"
     rgba2 = api.render_image_rgba(8, 8, seed=0)
     assert rgba2.shape == (8 * 8 * 4,)
+
+
+def test_failed_checkpoint_init_preserves_renderer(assets_dir, tmp_path):
+    """A failed init_renderer(checkpoint=...) must leave the previous
+    renderer fully intact — a half-committed _state would make later bare
+    init_renderer() calls claim the new checkpoint is being served while
+    rendering the old weights."""
+    api.init_renderer(cfg=SMALL)
+    before = api.render_image_rgba(8, 8, seed=0)
+    with pytest.raises(Exception):
+        api.init_renderer(checkpoint=str(tmp_path / "nonexistent"))
+    assert api._state.get("checkpoint") is None       # not poisoned
+    after = api.render_image_rgba(8, 8, seed=0)
+    np.testing.assert_array_equal(before, after)
