@@ -36,6 +36,9 @@ BASELINES = {
     "s32x64_aabb_probe": "s32x64_accel_aabb",
     "s16x32_aabb_probe": "s16x32_accel_aabb",
     "student128_800": "base_800",
+    "hashgrid_800": "base_800",
+    "hashgrid_s32x64": "s32x64_800",
+    "hashgrid_train": "train",
 }
 
 
