@@ -202,7 +202,10 @@ def render_rays(
     t_c = stratified_samples(k_coarse, t_lo, t_hi, cfg.n_coarse, batch_shape)
     pts_c = origin[..., None, :] + dirs[..., None, :] * t_c[..., :, None]
     # The reference discards coarse colors (lib.rs:404) — skip the color
-    # branch unless the caller needs the coarse image (training/aux).
+    # branch unless the caller needs the coarse image (training/aux) or
+    # the single-pass mode composites it directly.
+    single_pass = cfg.n_fine == 0
+    coarse_sigma_only = not return_aux and not single_pass
     if accel:
         from nerf_rs_tpu.accel import query_occupancy
 
@@ -216,12 +219,41 @@ def render_rays(
         # this path too — NerfAcc-style accelerated training).
         rgb_c, sigma_c, live_c = _mlp_culled(
             mlp, params_coarse, pts_c, dirs[..., None, :], occ_c, cap_c,
-            sigma_only=not return_aux,
+            sigma_only=coarse_sigma_only,
         )
     else:
         rgb_c, sigma_c = mlp(
-            params_coarse, pts_c, dirs[..., None, :], sigma_only=not return_aux
+            params_coarse, pts_c, dirs[..., None, :], sigma_only=coarse_sigma_only
         )
+
+    if single_pass:
+        # Single-pass mode (n_fine == 0): no hierarchical resampling — the
+        # coarse field is integrated directly, exactly the Instant-NGP
+        # regime where empty-space skipping replaces the coarse/fine
+        # hierarchy (the reference is always two-pass, lib.rs:406-445;
+        # this is the reduced-work extension of its own reduced-sample
+        # wasm preset, lib.rs:603-612). Halves the field evaluations per
+        # sample budget; quality rides full_psnr_db like the other
+        # reduced presets.
+        w_c = compute_weights(sigma_c, t_c, far_w, t_threshold=cfg.t_threshold)
+        rgb = composite(rgb_c, w_c, white_background=cfg.white_background)
+        if return_live:
+            return rgb, (live_c, jnp.zeros_like(live_c))
+        if not return_aux:
+            return rgb
+        aux = {
+            "rgb_coarse": rgb,
+            "acc": jnp.sum(w_c, axis=-1),
+            "weights_coarse": w_c,
+            "weights_fine": w_c,
+            "t_coarse": t_c,
+            "t_fine": t_c,
+            "depth": jnp.sum(w_c * t_c, axis=-1),
+        }
+        if accel:
+            aux["live_frac_coarse"] = live_c.astype(jnp.float32) / cap_c
+            aux["live_frac_fine"] = jnp.zeros_like(aux["live_frac_coarse"])
+        return rgb, aux
 
     # --- hierarchical resampling (lib.rs:406-421) ---
     if cfg.sampling_impl == "pallas":

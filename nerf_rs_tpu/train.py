@@ -96,7 +96,10 @@ def nerf_loss(
     )
     mse_fine = jnp.mean((rgb_fine - batch["rgb"]) ** 2)
     mse_coarse = jnp.mean((aux["rgb_coarse"] - batch["rgb"]) ** 2)
-    loss = mse_fine + cfg.coarse_loss_weight * mse_coarse
+    # Single-pass mode (n_fine == 0): the "coarse" image IS the render —
+    # adding it again would only double the loss scale.
+    coarse_w = cfg.coarse_loss_weight if rcfg.n_fine > 0 else 0.0
+    loss = mse_fine + coarse_w * mse_coarse
     psnr = -10.0 * jnp.log10(jnp.maximum(mse_fine, 1e-10))
     metrics = {"loss": loss, "mse_fine": mse_fine,
                "mse_coarse": mse_coarse, "psnr": psnr}

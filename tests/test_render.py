@@ -323,3 +323,76 @@ def test_sharded_aux_matches_single(lego_params, golden):
                                  cam, 16, 16, key, cfg)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _unit_dirs(key, n):
+    d = jax.random.normal(key, (n, 3))
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def test_single_pass_mode(lego_params, golden):
+    """n_fine == 0: no hierarchical resampling — the render IS the coarse
+    field integrated directly (the Instant-NGP regime; the reference is
+    always two-pass). Must equal manual compositing of the coarse pass and
+    serve the aux path."""
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+    from nerf_rs_tpu.ops.sampling import stratified_samples
+    from nerf_rs_tpu.ops.volume import composite, compute_weights
+
+    cfg = SMALL_CFG.replace(n_fine=0)
+    key = jax.random.key(5)
+    dirs = _unit_dirs(jax.random.key(6), 8)
+    ids = jnp.arange(8, dtype=jnp.int32)
+    origin = jnp.zeros(3)
+    rgb, aux = render_rays(lego_params["coarse"], lego_params["fine"],
+                           origin, dirs, 2.0, 6.0, key, cfg,
+                           ray_ids=ids, return_aux=True)
+    # manual: same RNG stream -> same stratified t's -> same composite
+    k_coarse, _ = jax.random.split(key)
+    k_coarse = jax.vmap(lambda i: jax.random.fold_in(k_coarse, i))(ids)
+    t_c = stratified_samples(k_coarse, 2.0, 6.0, cfg.n_coarse, (8,))
+    pts = origin + dirs[:, None, :] * t_c[..., None]
+    rgb_c, sigma_c = nerf_mlp(lego_params["coarse"], pts, dirs[:, None, :])
+    w = compute_weights(sigma_c, t_c, 6.0, t_threshold=cfg.t_threshold)
+    want = composite(rgb_c, w, white_background=True)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(want), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(aux["rgb_coarse"]), np.asarray(rgb))
+    assert aux["t_fine"].shape == (8, cfg.n_coarse)
+
+
+def test_single_pass_training_reduces_loss(lego_params):
+    from nerf_rs_tpu.config import TrainConfig
+    from nerf_rs_tpu.train import create_train_state, train_step
+
+    cfg = TrainConfig(batch_rays=32, render=SMALL_CFG.replace(n_fine=0))
+    state = create_train_state(jax.random.key(0), cfg)
+    dirs = _unit_dirs(jax.random.key(1), 32)
+    batch = {"origins": jnp.zeros(3), "dirs": dirs,
+             "rgb": jnp.full((32, 3), 0.4), "near": 2.0, "far": 6.0}
+    first = last = None
+    for i in range(6):
+        state, m = train_step(state, batch, jax.random.key(i), cfg)
+        first = first if first is not None else float(m["loss"])
+        last = float(m["loss"])
+    assert last < first
+
+
+def test_single_pass_accel_matches_dense(lego_params):
+    """Single-pass mode through the compaction path: an everything-occupied
+    grid reproduces the dense single-pass render exactly."""
+    from nerf_rs_tpu.accel import OccupancyGrid
+
+    cfg = SMALL_CFG.replace(n_fine=0, accel_coarse_capacity=2.0,
+                            accel_t_threshold=0.0)
+    grid = OccupancyGrid(occ=jnp.ones((8, 8, 8), bool),
+                         aabb_min=jnp.full((3,), -8.0),
+                         aabb_max=jnp.full((3,), 8.0))
+    key = jax.random.key(9)
+    dirs = _unit_dirs(jax.random.key(2), 8)
+    ids = jnp.arange(8, dtype=jnp.int32)
+    dense = render_rays(lego_params["coarse"], lego_params["fine"],
+                        jnp.zeros(3), dirs, 2.0, 6.0, key, cfg, ray_ids=ids)
+    accel = render_rays(lego_params["coarse"], lego_params["fine"],
+                        jnp.zeros(3), dirs, 2.0, 6.0, key, cfg, ray_ids=ids,
+                        grid=grid)
+    np.testing.assert_allclose(np.asarray(accel), np.asarray(dense), atol=1e-5)

@@ -39,6 +39,8 @@ BASELINES = {
     "hashgrid_800": "base_800",
     "hashgrid_s32x64": "s32x64_800",
     "hashgrid_train": "train",
+    "hashgrid_s128x0": "hashgrid_800",
+    "s128x0_accel_aabb": "accel_aabb_800",
 }
 
 

@@ -93,4 +93,9 @@ run student128_s32x64   NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64 NERF_BENCH_SA
 run hashgrid_800        NERF_BENCH_SIZE=800 NERF_BENCH_MODEL=hashgrid
 run hashgrid_s32x64     NERF_BENCH_SIZE=800 NERF_BENCH_MODEL=hashgrid NERF_BENCH_SAMPLES=32,64
 run hashgrid_train      NERF_BENCH_MODE=train NERF_BENCH_MODEL=hashgrid
+# Single-pass mode (n_fine=0): no hierarchical resampling — the
+# Instant-NGP regime. The hash leg halves its field evals; the MLP leg
+# pairs it with accel+aabb as a deep point on the rays/s-vs-PSNR frontier.
+run hashgrid_s128x0     NERF_BENCH_SIZE=800 NERF_BENCH_MODEL=hashgrid NERF_BENCH_SAMPLES=128,0
+run s128x0_accel_aabb   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=128,0 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
 echo "done -> $LOG" >&2
