@@ -213,3 +213,43 @@ def test_hashgrid_sharded_render_matches_single_device():
     mesh = make_mesh(jax.devices()[:8])
     sharded = render_image_sharded(params, params, cam, 16, 16, key, cfg, mesh)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_hashgrid_numeric_gradients():
+    """check_grads on the full forward (encoding + both MLPs): the
+    trilinear/hash gather chain must be numerically differentiable — the
+    same anchor the fused MLP kernels are held to."""
+    from jax.test_util import check_grads
+
+    key = jax.random.key(12)
+    params = init_hashgrid_params(key, TINY)
+    # The paper's +-1e-4 table init parks every ReLU preactivation at the
+    # kink, where finite differences are meaningless — scale the tables to
+    # O(0.3) and bias the hidden layers off zero so the check probes the
+    # smooth regions the analytic gradient is defined on.
+    params["hash_tables"] = params["hash_tables"] * 3e3
+    for name in ("sigma0", "color0", "color1"):
+        params[name]["bias"] = params[name]["bias"] + 0.05
+    pts = jax.random.uniform(key, (8, 3), minval=-0.8, maxval=0.8)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.6, 0.8]]), (8, 1))
+
+    def f(p):
+        rgb, sigma = hashgrid_mlp(p, pts, dirs, cfg=TINY)
+        return jnp.sum(rgb) + jnp.sum(jnp.log1p(sigma))
+
+    check_grads(f, (params,), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
+
+
+def test_hashgrid_single_pass_render_and_aux():
+    """n_fine=0 + hashgrid: the cheapest serving config — aux path too."""
+    from nerf_rs_tpu.render import render_rays
+
+    key = jax.random.key(13)
+    params = init_hashgrid_params(key, TINY)
+    cfg = RenderConfig(n_coarse=16, n_fine=0, model="hashgrid", hash=TINY,
+                       ray_chunk=32)
+    dirs = _unit(key, 8)
+    rgb, aux = render_rays(params, params, jnp.zeros(3), dirs, 2.0, 6.0,
+                           key, cfg, return_aux=True)
+    assert rgb.shape == (8, 3) and bool(jnp.isfinite(rgb).all())
+    assert aux["depth"].shape == (8,) and aux["t_fine"].shape == (8, 16)
