@@ -23,8 +23,23 @@ if ! probe; then
   exit 2
 fi
 
+# Leg selection for short tunnel windows:
+#   TPU_AB_LEGS="a b c"  — run only these legs (watcher runs a core subset
+#                          first so convergence isn't starved by the full
+#                          frontier sweep)
+#   TPU_AB_SKIP_DONE=1   — skip legs that already have a clean (error-free)
+#                          record in $LOG (the follow-up full sweep then
+#                          only runs what's missing)
 run() {
   local name="$1"; shift
+  if [ -n "${TPU_AB_LEGS:-}" ]; then
+    case " $TPU_AB_LEGS " in *" $name "*) ;; *) return 0 ;; esac
+  fi
+  if [ "${TPU_AB_SKIP_DONE:-0}" = "1" ] \
+     && grep "\"config\": \"$name\"" "$LOG" 2>/dev/null | grep -qv '"error"'; then
+    echo "=== $name: clean record exists, skipping ===" >&2
+    return 0
+  fi
   echo "=== $name ($(date +%H:%M:%S)) ===" >&2
   local out
   # Internal deadline below the shell timeout so a mid-run wedge still

@@ -31,11 +31,17 @@ headline_landed() {
 }
 
 echo "$(date +%FT%T) watcher start (interval ${INTERVAL}s)" >> "$STATUS"
+# Short-window strategy: a CORE sweep first (the headline + the five
+# decision-critical legs), then the teacher convergence run (the quality
+# milestone), THEN the full frontier sweep (skip-done) and the distills —
+# a 2-hour tunnel window lands the numbers that matter most instead of
+# burning entirely on frontier legs.
+CORE_LEGS="default_800 base_800 accel_800 train train_xla"
 while true; do
   if probe; then
-    echo "$(date +%FT%T) tunnel UP -> running tpu_ab.sh" >> "$STATUS"
-    bash tools/tpu_ab.sh "$LOG" >> "$STATUS" 2>&1
-    echo "$(date +%FT%T) sweep finished (rc=$?)" >> "$STATUS"
+    echo "$(date +%FT%T) tunnel UP -> running core sweep ($CORE_LEGS)" >> "$STATUS"
+    TPU_AB_LEGS="$CORE_LEGS" TPU_AB_SKIP_DONE=1 bash tools/tpu_ab.sh "$LOG" >> "$STATUS" 2>&1
+    echo "$(date +%FT%T) core sweep finished (rc=$?)" >> "$STATUS"
     if ! headline_landed; then
       echo "$(date +%FT%T) headline leg has no clean record — tunnel flap? looping" >> "$STATUS"
       sleep "$INTERVAL"
@@ -45,6 +51,9 @@ while true; do
       echo "$(date +%FT%T) starting convergence run (canonical teacher distill)" >> "$STATUS"
       bash tools/tpu_convergence.sh /tmp/tpu_convergence >> "$STATUS" 2>&1
       echo "$(date +%FT%T) convergence finished (rc=$?)" >> "$STATUS"
+      echo "$(date +%FT%T) running FULL frontier sweep (skip-done)" >> "$STATUS"
+      TPU_AB_SKIP_DONE=1 bash tools/tpu_ab.sh "$LOG" >> "$STATUS" 2>&1
+      echo "$(date +%FT%T) full sweep finished (rc=$?)" >> "$STATUS"
       echo "$(date +%FT%T) starting student-128 distill + bench" >> "$STATUS"
       CONV_TRAIN_ARGS="--width 128 --v-width 64" CONV_TARGET_DB=28 \
         bash tools/tpu_convergence.sh /tmp/tpu_student >> "$STATUS" 2>&1
@@ -70,6 +79,11 @@ while true; do
           NERF_BENCH_SIZE=800 timeout 1800 python bench.py >> "$LOG" 2>>"$STATUS"
         echo "$(date +%FT%T) trained-hashgrid bench appended to $LOG" >> "$STATUS"
       fi
+    else
+      # Convergence disabled: still complete the frontier sweep.
+      echo "$(date +%FT%T) running FULL frontier sweep (skip-done)" >> "$STATUS"
+      TPU_AB_SKIP_DONE=1 bash tools/tpu_ab.sh "$LOG" >> "$STATUS" 2>&1
+      echo "$(date +%FT%T) full sweep finished (rc=$?)" >> "$STATUS"
     fi
     echo "$(date +%FT%T) watcher done" >> "$STATUS"
     exit 0
