@@ -102,6 +102,26 @@ def main():
     useful_tflops = 2 * MACS_PER_SAMPLE * n_rays * (nc + nc + nf) / t / 1e12
     print(f"  implied useful TFLOP/s (coarse {nc} + fine {nc+nf} samples/ray): {useful_tflops:.1f}")
 
+    # --- hash-grid family: encoding gather alone vs full forward — the
+    # HBM-gather numbers the docs/PERF.md hash roofline brackets.
+    from nerf_rs_tpu.config import HashGridConfig
+    from nerf_rs_tpu.models.hashgrid import hash_encode, hashgrid_mlp, init_hashgrid_params
+
+    hcfg = HashGridConfig()
+    hp = jax.device_put(init_hashgrid_params(jax.random.key(2), hcfg))
+    n_samp = n_rays * (nc + nf)
+    pts_flat = pts.reshape(n_samp, 3)
+    enc_fn = jax.jit(lambda tb, x: hash_encode(tb, x, hcfg))
+    t = timeit(enc_fn, hp["hash_tables"], pts_flat)
+    gb = n_samp * hcfg.levels * 8 * hcfg.features * 4 / 1e9  # f32 rows touched
+    print(f"hash encode ({n_samp} samples, L={hcfg.levels} T=2^{hcfg.table_log2}): "
+          f"{t*1e3:.2f} ms -> {n_samp/t/1e6:.1f} M samples/s, "
+          f"{gb/t:.0f} GB/s gathered-row traffic")
+    hmlp = jax.jit(lambda p, x, d: hashgrid_mlp(p, x, d, cfg=hcfg, dtype="bfloat16"))
+    t = timeit(hmlp, hp, pts_flat, jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(n_samp, 3))
+    print(f"hashgrid full forward ({n_samp} samples): {t*1e3:.2f} ms "
+          f"-> {n_samp/t/1e6:.1f} M samples/s")
+
     # --- full image for reference
     t0 = time.perf_counter()
     img = render_image(params_c, params_f, camera, 800, 800, key, cfg)
