@@ -64,3 +64,34 @@ def test_bench_explicit_accel_flags_bad_config_as_error():
     assert rec["vs_baseline"] == 0.0
     assert "accel_psnr_db" in rec and rec["accel_psnr_db"] < 40.0
     assert "40 dB contract" in rec["error"]
+
+
+def test_bench_hashgrid_model_and_trained_checkpoint(tmp_path):
+    """The watcher chain's final steps: NERF_BENCH_MODEL=hashgrid
+    (random-init) and NERF_BENCH_CHECKPOINT on a cli-train hashgrid
+    checkpoint must both emit one valid, correctly-labeled JSON line."""
+    rec = _run_bench({"NERF_BENCH_MODEL": "hashgrid",
+                      "NERF_BENCH_ACCEL": "0"})
+    assert "+hashgrid" in rec["metric"] and "xla" in rec["metric"]
+    assert rec["value"] > 0
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"   # cli honors it via jax.config (the
+    #                                plugin would otherwise force axon)
+    ck = str(tmp_path / "ck")
+    out = subprocess.run(
+        [sys.executable, "-m", "nerf_rs_tpu", "train", "--model", "hashgrid",
+         "--hash-levels", "2", "--hash-table-log2", "10",
+         "--hash-res-max", "16", "--coarse-samples", "4",
+         "--fine-samples", "8", "--ray-chunk", "64", "--batch-rays", "64",
+         "--steps", "1", "--checkpoint-dir", ck, "--log-every", "1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+    assert out.returncode == 0, out.stderr[-2000:]
+    step = sorted(Path(ck).glob("step_*"))[-1]
+    # No NERF_BENCH_MODEL: the sidecar alone must flip the label to
+    # xla/+hashgrid (metric-series integrity).
+    rec = _run_bench({"NERF_BENCH_CHECKPOINT": str(step),
+                      "NERF_BENCH_ACCEL": "0"})
+    assert "+hashgrid+checkpoint" in rec["metric"]
+    assert "pallas" not in rec["metric"]
+    assert rec["value"] > 0
