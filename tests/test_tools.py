@@ -40,3 +40,14 @@ def test_sweep_scripts_parse():
                    "tpu_ab_smoke.sh"):
         subprocess.run(["bash", "-n", str(ROOT / "tools" / script)],
                        check=True, timeout=30)
+
+
+def test_int8_study_syntax():
+    """tools/int8_study.py stays importable/parseable (it monkey-patches
+    render.get_mlp_fn — a study script, but syntax rot would silently
+    kill the recorded decision path)."""
+    import ast
+    from pathlib import Path
+
+    src = (Path(__file__).resolve().parent.parent / "tools" / "int8_study.py")
+    ast.parse(src.read_text())
