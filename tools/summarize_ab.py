@@ -41,6 +41,7 @@ BASELINES = {
     "hashgrid_train": "train",
     "hashgrid_s128x0": "hashgrid_800",
     "s128x0_accel_aabb": "accel_aabb_800",
+    "s64x0_accel_aabb": "s128x0_accel_aabb",
 }
 
 

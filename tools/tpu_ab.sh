@@ -113,4 +113,7 @@ run hashgrid_train      NERF_BENCH_MODE=train NERF_BENCH_MODEL=hashgrid
 # pairs it with accel+aabb as a deep point on the rays/s-vs-PSNR frontier.
 run hashgrid_s128x0     NERF_BENCH_SIZE=800 NERF_BENCH_MODEL=hashgrid NERF_BENCH_SAMPLES=128,0
 run s128x0_accel_aabb   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=128,0 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
+# CPU study (docs/PERF.md): 64+0 beats 16+32 by ~5 dB at equal evals —
+# the deepest staged frontier point, aabb-concentrated:
+run s64x0_accel_aabb    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
 echo "done -> $LOG" >&2
