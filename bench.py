@@ -505,6 +505,21 @@ def main() -> None:
                          "contract — reporting the exact path")
             grid, accel = None, False
             img, best = timed(None)
+        elif accel_auto:
+            # Auto mode is a RACE, not a PSNR check alone: time the exact
+            # path too and keep whichever is faster. On real TPU the accel
+            # path's gather/compaction can lose to the dense pipeline even
+            # when its image is fine (measured 2026-08-18: accel 44 K vs
+            # exact 291 K rays/s at 800x800) — auto must never report a
+            # slower-than-exact headline.
+            img_exact, best_exact = timed(None)
+            if best_exact < best:
+                auto_note = (
+                    f"accel auto-rejected: slower than exact "
+                    f"({size * size / best:.0f} vs {size * size / best_exact:.0f}"
+                    " rays/s) — reporting the exact path")
+                grid, accel = None, False
+                img, best = img_exact, best_exact
 
     n_rays = size * size
     rays_per_s = n_rays / best

@@ -14,10 +14,13 @@ Pieces:
   occupancy.
 - ``query_occupancy``: nearest-cell lookup for sample points (one flat
   gather).
-- ``compact_apply``: evaluate ``fn`` only at masked rows by scatter-
-  compacting them to a fixed-capacity buffer (static shapes — the TPU has
-  no dynamic batching) and scattering results back; rows beyond capacity
-  fall back to ``fill`` (overflow is counted so callers can validate).
+- ``compact_apply``: evaluate ``fn`` only at masked rows by compacting
+  them to a fixed-capacity buffer (static shapes — the TPU has no dynamic
+  batching) and gathering results back; rows beyond capacity fall back to
+  ``fill`` (overflow is counted so callers can validate). The compaction
+  itself is gather-only (cumsum + binary search): TPU scatters with N
+  dynamic indices serialize, which made the original scatter formulation
+  a net slowdown (NERF_ACCEL_COMPACT=scatter keeps it for A/B).
 
 Numerics: a skipped sample contributes sigma = 0 exactly. With a
 conservative grid (low threshold + dilation) the image deviation is
@@ -323,14 +326,33 @@ def compact_apply(
     ``capacity`` — callers should treat n_live > capacity as an overflow
     signal and raise the capacity fraction).
     """
+    import os
+
     n = rows.shape[0]
     mask = mask.reshape(n)
-    pos = jnp.cumsum(mask) - 1                       # position among live rows
-    live_total = pos[-1] + 1
+    csum = jnp.cumsum(mask.astype(jnp.int32))        # inclusive live count
+    pos = csum - 1                                   # position among live rows
+    live_total = csum[-1]
     dest = jnp.where(mask & (pos < capacity), pos, capacity)  # capacity = trash
-    buf = jnp.zeros((capacity + 1, rows.shape[1]), rows.dtype)
-    buf = buf.at[dest].set(rows, mode="drop")
-    outs = fn(buf[:capacity])
+    impl = os.environ.get("NERF_ACCEL_COMPACT", "gather")
+    if impl == "gather":
+        # TPU-native compaction: NO scatter anywhere. XLA lowers a dynamic
+        # N-row scatter to a serialized loop on TPU (measured 2026-08-18:
+        # the scatter variant turned the accel path into a 6.6x SLOWDOWN
+        # vs dense at 800x800). Instead find the j-th live row by binary
+        # search over the inclusive cumsum (log2(n)~20 vectorized gathers)
+        # and gather rows to the buffer.
+        slots = jnp.arange(1, capacity + 1, dtype=csum.dtype)
+        src = jnp.searchsorted(csum, slots, side="left")
+        valid = (jnp.arange(capacity) < live_total)[:, None]
+        buf = jnp.where(valid,
+                        jnp.take(rows, jnp.minimum(src, n - 1), axis=0),
+                        jnp.zeros((), rows.dtype))
+        outs = fn(buf)
+    else:  # impl == "scatter": the original formulation, kept for A/B
+        buf = jnp.zeros((capacity + 1, rows.shape[1]), rows.dtype)
+        buf = buf.at[dest].set(rows, mode="drop")
+        outs = fn(buf[:capacity])
     gathered = []
     for out, fill in zip(outs, fills):
         # dest < capacity selects rows that were actually evaluated

@@ -71,6 +71,31 @@ def test_compact_apply_overflow_falls_back_to_fill():
     assert int(n_live) == 32                # TRUE live count signals overflow
 
 
+def test_compact_apply_gather_matches_scatter(monkeypatch):
+    """The gather-only compaction (TPU default) is bit-equal to the scatter
+    formulation, including the overflow regime (capacity < live count)."""
+    rng = np.random.default_rng(3)
+    rows = jnp.asarray(rng.normal(size=(128, 6)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=128) < 0.6)
+
+    def fn(buf):
+        return (buf[:, :3] - 1.0, jnp.max(buf, axis=1, keepdims=True))
+
+    outs = {}
+    for impl in ("gather", "scatter"):
+        monkeypatch.setenv("NERF_ACCEL_COMPACT", impl)
+        for cap in (128, 16):  # ample and overflowing
+            a, b, n_live = compact_apply(fn, rows, mask, capacity=cap,
+                                         fills=(0.0, -2.0))
+            outs[(impl, cap)] = (np.asarray(a), np.asarray(b), int(n_live))
+    for cap in (128, 16):
+        ga, gb, gn = outs[("gather", cap)]
+        sa, sb, sn = outs[("scatter", cap)]
+        np.testing.assert_array_equal(ga, sa)
+        np.testing.assert_array_equal(gb, sb)
+        assert gn == sn == int(np.asarray(mask).sum())
+
+
 def test_build_grid_and_accel_render_close_to_exact(lego_params, golden):
     """End-to-end: accelerated lego render within tight PSNR of the exact
     render (the accel contract from accel.py's docstring)."""

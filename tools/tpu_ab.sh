@@ -65,6 +65,11 @@ run base_800            NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0
 run interleave_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_INTERLEAVE=1
 run psampling_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLING=pallas
 run accel_800           NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
+# Compaction impl A/B: gather-only (cumsum+searchsorted, the default since
+# 2026-08-18) vs the original scatter formulation (TPU scatters serialize
+# -> measured 44 K vs 291 K exact; gather is the fix candidate):
+run accel_gc_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=gather
+run accel_scatter_800   NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=scatter
 # Winner combos
 run accel_interleave    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_FUSED_INTERLEAVE=1
 run accel_psampling     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_SAMPLING=pallas
