@@ -56,18 +56,25 @@ def _bench_train(cfg, repeats: int) -> None:
     )
 
     batch_rays = int(os.environ.get("NERF_BENCH_TRAIN_RAYS", "16384"))
-    tcfg = TrainConfig(batch_rays=batch_rays, render=cfg.replace(ray_chunk=batch_rays))
+
+    def make_batch(batch_rays):
+        tcfg = TrainConfig(batch_rays=batch_rays,
+                           render=cfg.replace(ray_chunk=batch_rays))
+        rng = np.random.default_rng(0)
+        dirs = rng.normal(size=(batch_rays, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        batch = {
+            "origins": jnp.tile(jnp.asarray([[0.0, -4.0, 1.0]], jnp.float32),
+                                (batch_rays, 1)),
+            "dirs": jnp.asarray(dirs),
+            "rgb": jnp.asarray(rng.uniform(size=(batch_rays, 3)).astype(np.float32)),
+            "near": jnp.float32(2.0),
+            "far": jnp.float32(6.0),
+        }
+        return tcfg, batch
+
+    tcfg, batch = make_batch(batch_rays)
     mesh, state = create_sharded_train_state(jax.random.key(0), tcfg)
-    rng = np.random.default_rng(0)
-    dirs = rng.normal(size=(batch_rays, 3)).astype(np.float32)
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    batch = {
-        "origins": jnp.tile(jnp.asarray([[0.0, -4.0, 1.0]], jnp.float32), (batch_rays, 1)),
-        "dirs": jnp.asarray(dirs),
-        "rgb": jnp.asarray(rng.uniform(size=(batch_rays, 3)).astype(np.float32)),
-        "near": jnp.float32(2.0),
-        "far": jnp.float32(6.0),
-    }
     grid = None
     # Train mode has no PSNR guard, so "auto" does NOT enable accel here —
     # only an explicit NERF_BENCH_ACCEL=1 does.
@@ -85,9 +92,27 @@ def _bench_train(cfg, repeats: int) -> None:
                                     resolution=128)
 
     key = jax.random.key(1)
-    state, metrics = sharded_train_step(mesh, state, batch, key, tcfg,
-                                        grid=grid)  # compile
-    np.asarray(metrics["loss"])
+    while True:
+        try:
+            state, metrics = sharded_train_step(mesh, state, batch, key, tcfg,
+                                                grid=grid)  # compile
+            np.asarray(metrics["loss"])
+            break
+        except Exception as e:
+            # HBM OOM (surfaces as RESOURCE_EXHAUSTED, or as an INTERNAL
+            # remote-compile 500 carrying the 'hbm' message on the tunneled
+            # backend): halve the batch and recompile. 16384 rays x 64+128
+            # samples fwd+bwd measured 170 MB over the 15.75G v5e budget.
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "hbm" in msg
+                   or "memory" in msg.lower())
+            if not oom or batch_rays <= 2048:
+                raise
+            batch_rays //= 2
+            print(f"train bench: OOM at batch {batch_rays * 2}, retrying "
+                  f"with {batch_rays}", file=sys.stderr)
+            tcfg, batch = make_batch(batch_rays)
+            mesh, state = create_sharded_train_state(jax.random.key(0), tcfg)
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
