@@ -334,14 +334,16 @@ def compact_apply(
     pos = csum - 1                                   # position among live rows
     live_total = csum[-1]
     dest = jnp.where(mask & (pos < capacity), pos, capacity)  # capacity = trash
-    impl = os.environ.get("NERF_ACCEL_COMPACT", "gather")
+    impl = os.environ.get("NERF_ACCEL_COMPACT", "scatter")
     if impl == "gather":
-        # TPU-native compaction: NO scatter anywhere. XLA lowers a dynamic
-        # N-row scatter to a serialized loop on TPU (measured 2026-08-18:
-        # the scatter variant turned the accel path into a 6.6x SLOWDOWN
-        # vs dense at 800x800). Instead find the j-th live row by binary
-        # search over the inclusive cumsum (log2(n)~20 vectorized gathers)
-        # and gather rows to the buffer.
+        # Scatter-free alternative, kept for A/B: find the j-th live row by
+        # binary search over the inclusive cumsum (log2(n)~20 vectorized
+        # gathers) and gather rows to the buffer. Measured 2026-08-18 on
+        # v5e at 800x800: LOSES to the scatter formulation (20.8 K vs
+        # 44.3 K rays/s) — searchsorted's repeated large HBM gathers cost
+        # more than the one scatter. Both lose to the dense path (291 K);
+        # per-sample compaction culling is not a win on this hardware, the
+        # winning accel levers are AABB sample placement + reduced samples.
         slots = jnp.arange(1, capacity + 1, dtype=csum.dtype)
         src = jnp.searchsorted(csum, slots, side="left")
         valid = (jnp.arange(capacity) < live_total)[:, None]

@@ -463,9 +463,16 @@ def _kernel_bwd(L, cdt, fast_cos,
         return jax.lax.dot_general(w(name), dh, (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32, precision=prec)
 
+    def relu_mask(h):
+        # ReLU mask for the backward. Compare in f32: Mosaic on v5e rejects
+        # bf16 vector comparisons ("Target does not support this
+        # comparison", first real-TPU bf16-bwd compile 2026-08-18); the
+        # extend-to-f32 is free next to the surrounding matmuls.
+        return h.astype(f32) > 0
+
     acc_w("wrt", dr8, hv)
     acc_b(L.b_rgb, dr8)
-    dhv = (bwd_in("wrt", dr8)[:L.vp] * (hv > 0)).astype(cdt)
+    dhv = (bwd_in("wrt", dr8)[:L.vp] * relu_mask(hv)).astype(cdt)
     acc_w("wvat", dhv, bn)
     acc_w("wvbt", dhv, enc)
     acc_b(L.b_view, dhv)
@@ -476,7 +483,7 @@ def _kernel_bwd(L, cdt, fast_cos,
     acc_w("wst", ds8, h_last)
     acc_b(L.b_sigma, ds8)
     dh = ((bwd_in("wbt", dbn) + bwd_in("wst", ds8))
-          * (h_last > 0)).astype(cdt)
+          * relu_mask(h_last)).astype(cdt)
     for i in range(D - 1, 0, -1):
         hin = hs[i - 1]
         if i == S + 1:
@@ -484,11 +491,11 @@ def _kernel_bwd(L, cdt, fast_cos,
             acc_w(f"w{i}at", dh, enc)
             acc_b(i, dh)
             de = de + bwd_in(f"w{i}at", dh)[:LANES]
-            dh = (bwd_in(f"w{i}bt", dh) * (hin > 0)).astype(cdt)
+            dh = (bwd_in(f"w{i}bt", dh) * relu_mask(hin)).astype(cdt)
         else:
             acc_w(f"w{i}t", dh, hin)
             acc_b(i, dh)
-            dh = (bwd_in(f"w{i}t", dh) * (hin > 0)).astype(cdt)
+            dh = (bwd_in(f"w{i}t", dh) * relu_mask(hin)).astype(cdt)
     acc_w("w0t", dh, enc)
     acc_b(0, dh)
     de = de + bwd_in("w0t", dh)[:LANES]
@@ -724,8 +731,18 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         # Backward tile: smaller than the forward's (it holds every layer's
         # activations in VMEM) but it MUST divide n_pad — a non-dividing
         # tile would truncate the grid and silently drop tail samples from
-        # the gradients. n_pad is always a multiple of 128.
-        bt = next(b for b in (512, 256, 128) if n_pad % b == 0)
+        # the gradients. n_pad is always a multiple of 128. The cap is
+        # dtype-aware: the canonical-arch bwd at tile 512/f32 measured a
+        # 31.2 MB Mosaic stack vs the 16 MB scoped-VMEM limit on v5e
+        # (first real-TPU compile, 2026-08-18) — the tile-scaled share is
+        # ~24.6 MB, so f32 fits at 128 and bf16 (half-width activations)
+        # at 256. $NERF_FUSED_BWD_TILE overrides for A/B.
+        bt_env = os.environ.get("NERF_FUSED_BWD_TILE")
+        if bt_env:
+            bt_cap = int(bt_env)
+        else:
+            bt_cap = 128 if jnp.dtype(dtype) == jnp.float32 else 256
+        bt = next(b for b in (bt_cap, 256, 128) if b <= bt_cap and n_pad % b == 0)
         blob, aux = pack_params(params, dtype)
         dx, dblob, daux = _backward_t(blob, aux, x, g8, dtype, bt, True,
                                       interpret, layout=layout)

@@ -89,7 +89,9 @@ def _bitonic_sort_lanes(x, lanes):
                 is_low, _roll(x, -j, lanes), _roll(x, j, lanes)
             )
             ascending = (lane & k) == 0
-            keep_min = is_low == ascending
+            # NOT xor, not i1 == i1: Mosaic (v5e) rejects vector bool
+            # equality ("Target does not support this comparison").
+            keep_min = jnp.logical_not(jnp.logical_xor(is_low, ascending))
             x = jnp.where(
                 keep_min, jnp.minimum(x, partner), jnp.maximum(x, partner)
             )
