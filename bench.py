@@ -181,6 +181,13 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
             accel_tag += "+aabb"
             if os.environ.get("NERF_BENCH_AABB_PROBES"):
                 accel_tag += f"+probes{os.environ['NERF_BENCH_AABB_PROBES']}"
+        # accel semantics changed 2026-08-18: the default is now mask-only
+        # culling + ray-level packing (no per-sample compaction). Tag any
+        # non-default combination so metric series don't alias.
+        if os.environ.get("NERF_ACCEL_COMPACT", "none") != "none":
+            accel_tag += f"+c{os.environ['NERF_ACCEL_COMPACT']}"
+        if os.environ.get("NERF_BENCH_CULL_RAYS", "1") in ("0", "false"):
+            accel_tag += "+noraycull"
     suffix = (f"{impl}/{dtype}" + accel_tag
               + ("+psampling" if sampling == "pallas" else ""))
     if os.environ.get("NERF_BENCH_ARCH"):
@@ -358,6 +365,16 @@ def main() -> None:
         cfg = cfg.replace(accel_t_threshold=float(os.environ["NERF_BENCH_ACCEL_T"]))
     if "NERF_BENCH_ACCEL_SLACK" in os.environ:
         cfg = cfg.replace(accel_t_slack_bins=float(os.environ["NERF_BENCH_ACCEL_SLACK"]))
+    # Accel-mode shape (2026-08-18 defaults): mask-only culling (dense MLP,
+    # occupancy-zeroed sigma — both compaction forms measured slower than
+    # dense on v5e) + ray-level packing (background rays never rendered).
+    # NERF_ACCEL_COMPACT=scatter|gather re-enables per-sample compaction;
+    # NERF_BENCH_CULL_RAYS=0 disables the packing. A/B knobs, off-default.
+    cfg = cfg.replace(
+        accel_compact=os.environ.get("NERF_ACCEL_COMPACT", "none"),
+        accel_cull_rays=os.environ.get("NERF_BENCH_CULL_RAYS", "1")
+        not in ("0", "false"),
+    )
     model_env = os.environ.get("NERF_BENCH_MODEL", "mlp")
     if model_env == "hashgrid":
         # Hash-grid family throughput (models/hashgrid.py) at the default
@@ -504,10 +521,12 @@ def main() -> None:
                        if cfg.model == "hashgrid" else {})
             grid = build_scene_grid(params_c, params_f,
                                     resolution=_accel_res(), **grid_kw)
-            # Measured capacities: one instrumented render, then the timed
-            # renders run with the post-culling live set + 15% margin.
-            cfg = calibrate_capacities(params_c, params_f, grid, camera,
-                                       size, size, key, cfg)
+            if cfg.accel_compact != "none":
+                # Measured capacities: one instrumented render, then the
+                # timed renders run with the post-culling live set + 15%
+                # margin. Mask-only culling has no capacities to calibrate.
+                cfg = calibrate_capacities(params_c, params_f, grid, camera,
+                                           size, size, key, cfg)
         except Exception as e:  # degenerate grid, etc.
             if not accel_auto:
                 raise

@@ -314,6 +314,7 @@ def compact_apply(
     mask: jnp.ndarray,
     capacity: int,
     fills: Tuple[jnp.ndarray, ...],
+    impl: Optional[str] = None,
 ):
     """Apply ``fn`` to only the masked rows of ``rows`` (N, F).
 
@@ -325,6 +326,12 @@ def compact_apply(
     ``n_live`` is the TRUE number of masked rows (it can exceed
     ``capacity`` — callers should treat n_live > capacity as an overflow
     signal and raise the capacity fraction).
+
+    ``impl`` selects the compaction formulation ("scatter" | "gather";
+    defaults to $NERF_ACCEL_COMPACT or "scatter"). Render callers thread
+    RenderConfig.accel_compact here — including its "none" (mask-only)
+    mode, which never reaches this function (render._mlp_culled handles
+    it densely).
     """
     import os
 
@@ -334,7 +341,8 @@ def compact_apply(
     pos = csum - 1                                   # position among live rows
     live_total = csum[-1]
     dest = jnp.where(mask & (pos < capacity), pos, capacity)  # capacity = trash
-    impl = os.environ.get("NERF_ACCEL_COMPACT", "scatter")
+    if impl is None:
+        impl = os.environ.get("NERF_ACCEL_COMPACT", "scatter")
     if impl == "gather":
         # Scatter-free alternative, kept for A/B: find the j-th live row by
         # binary search over the inclusive cumsum (log2(n)~20 vectorized

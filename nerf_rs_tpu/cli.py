@@ -140,6 +140,14 @@ def cmd_render(args) -> int:
         t0 = time.perf_counter()
         if getattr(args, "accel_aabb", False):
             cfg = cfg.replace(accel_sample_aabb=True)
+        cfg = cfg.replace(
+            accel_compact=getattr(args, "accel_compact", "none"))
+        if getattr(args, "accel_cull_rays", False):
+            if args.sharded:
+                print("note: --accel-cull-rays is single-device only "
+                      "(the sharded render keeps its static ray layout)")
+            else:
+                cfg = cfg.replace(accel_cull_rays=True)
         from nerf_rs_tpu.accel import hashgrid_grid_kwargs
 
         grid_kw = hashgrid_grid_kwargs(cfg) if cfg.model == "hashgrid" else {}
@@ -153,22 +161,28 @@ def cmd_render(args) -> int:
 
             chunk = effective_chunk(args.height * args.width,
                                     jax.device_count(), cfg)
-        if args.accel_calibrate or cfg.accel_sample_aabb:
-            # AABB clamping concentrates samples in occupied cells, so the
-            # geometry-only suggestion (uniform midpoints) undershoots —
-            # always use the measured calibration with the clamp active.
-            cfg = calibrate_capacities(
-                params["coarse"], params["fine"], grid, camera,
-                args.height, args.width, jax.random.key(args.seed), cfg,
-                chunk=chunk)
-        else:
-            cfg = suggest_capacities(grid, camera, args.height, args.width,
-                                     cfg, chunk=chunk)
+        cap_note = "mask-only (no capacities)"
+        if cfg.accel_compact != "none":
+            # Compaction modes need chunk-safe capacities; mask-only has
+            # none to calibrate.
+            if args.accel_calibrate or cfg.accel_sample_aabb:
+                # AABB clamping concentrates samples in occupied cells, so
+                # the geometry-only suggestion (uniform midpoints)
+                # undershoots — always use the measured calibration with
+                # the clamp active.
+                cfg = calibrate_capacities(
+                    params["coarse"], params["fine"], grid, camera,
+                    args.height, args.width, jax.random.key(args.seed), cfg,
+                    chunk=chunk)
+            else:
+                cfg = suggest_capacities(grid, camera, args.height,
+                                         args.width, cfg, chunk=chunk)
+            cap_note = (f"capacities {cfg.accel_coarse_capacity:.2f}/"
+                        f"{cfg.accel_fine_capacity:.2f}")
         frac = float(np.mean(np.asarray(grid.occ, np.float32)))
         print(f"occupancy grid {args.accel_res}^3 built in "
               f"{time.perf_counter() - t0:.2f}s ({100 * frac:.1f}% occupied; "
-              f"capacities {cfg.accel_coarse_capacity:.2f}/"
-              f"{cfg.accel_fine_capacity:.2f})")
+              f"{cap_note})")
     if args.sharded:
         from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
 
@@ -830,6 +844,15 @@ def main(argv=None) -> int:
                    help="clamp each ray's sample range to the occupied-AABB "
                         "intersection (same sample count, denser on the "
                         "object; implies --accel-calibrate)")
+    p.add_argument("--accel-compact", default="none",
+                   choices=("none", "scatter", "gather"),
+                   help="how culled samples skip the MLP: mask-only (dense "
+                        "eval, zeroed sigma — the measured TPU winner) or "
+                        "fixed-capacity compaction (kept for A/B)")
+    p.add_argument("--accel-cull-rays", action="store_true",
+                   help="pack away rays that miss the occupied box and "
+                        "composite them to background without rendering "
+                        "(single-device render path)")
     p.add_argument("--trace-dir", help="write a jax.profiler trace here")
     p.add_argument("--depth-output",
                    help="also write the depth map (expected-t, near=white) "

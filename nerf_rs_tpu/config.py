@@ -90,6 +90,32 @@ class RenderConfig:
     #                                  (accel.ray_occupied_range) — tighter
     #                                  than the box chord for grazing rays;
     #                                  this many grid lookups per ray.
+    accel_compact: str = "none"      # how culled sample rows skip the MLP:
+    #                                  "none"    — mask-only: evaluate densely,
+    #                                              zero sigma where culled. No
+    #                                              FLOPs saved per sample, but
+    #                                              zero compaction overhead and
+    #                                              no overflow (capacities
+    #                                              unused) — measured 2026-08-18
+    #                                              on v5e: BOTH compaction forms
+    #                                              lose to the dense pipeline
+    #                                              (scatter 44 K / gather 21 K
+    #                                              vs 291 K rays/s at 800x800);
+    #                                              the work reduction comes from
+    #                                              ray culling + AABB placement
+    #                                              + reduced samples instead.
+    #                                  "scatter" — cumsum+scatter compaction to
+    #                                              a fixed-capacity buffer
+    #                                  "gather"  — cumsum+searchsorted variant
+    accel_cull_rays: bool = False    # render_image only: pack rays whose
+    #                                  occupied range is non-degenerate and
+    #                                  render ONLY those; rays that miss the
+    #                                  occupied box composite to the background
+    #                                  directly (exactly what the accel path
+    #                                  evaluates them to). Host-side packing
+    #                                  per camera; per-ray RNG streams keep
+    #                                  the image bitwise-invariant to the
+    #                                  packing order (render_rays ray_ids).
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -70,10 +70,33 @@ def get_mlp_fn(cfg: RenderConfig):
 from nerf_rs_tpu.utils import round_up as _round_up
 
 
-def _mlp_culled(mlp, params, pts, dirs_b, mask, capacity: int, sigma_only: bool):
-    """Evaluate the MLP only at masked sample rows via fixed-capacity
-    compaction (accel.compact_apply); culled/overflowed rows get sigma = 0
-    (exactly the contribution the reference's early-out assigns them)."""
+def _mlp_culled(mlp, params, pts, dirs_b, mask, capacity: int, sigma_only: bool,
+                impl: str = "none"):
+    """Evaluate the MLP at only the masked sample rows.
+
+    impl == "none" (the default): mask-only culling — evaluate the MLP
+    densely and zero sigma (and rgb) where culled. Saves no per-sample
+    FLOPs but costs nothing either; measured 2026-08-18 on v5e both
+    compaction forms LOSE to the dense pipeline outright (scatter 44 K /
+    gather 21 K vs 291 K rays/s at 800x800 — TPU dynamic indexing at
+    per-sample granularity is slower than the MLP work it saves), so the
+    accel mode's work reduction comes from ray culling + AABB placement +
+    reduced sample counts instead, with the occupancy mask supplying the
+    exact-background semantics those rely on. Culled rows contribute
+    sigma = 0 — exactly what the reference's early-out assigns them — and
+    zero gradient, identically to the compaction forms (minus their
+    overflow loss: mask-only cannot overflow).
+
+    impl == "scatter" | "gather": fixed-capacity compaction
+    (accel.compact_apply); culled/overflowed rows get sigma = 0. Kept for
+    A/B and for hardware where compaction wins.
+    """
+    if impl == "none":
+        rgb, sigma = mlp(params, pts, dirs_b, sigma_only=sigma_only)
+        sigma = jnp.where(mask, sigma, 0.0)
+        if rgb.ndim == mask.ndim + 1:  # sigma-only paths may return dummy rgb
+            rgb = jnp.where(mask[..., None], rgb, 0.0)
+        return rgb, sigma, jnp.sum(mask.astype(jnp.int32))
     from nerf_rs_tpu.accel import compact_apply
 
     batch = pts.shape[:-1]
@@ -88,7 +111,8 @@ def _mlp_culled(mlp, params, pts, dirs_b, mask, capacity: int, sigma_only: bool)
         return rgb, sigma[:, None]
 
     rgb, sigma, n_live = compact_apply(fn, rows, mask.reshape(n), capacity,
-                                       (jnp.float32(0), jnp.float32(0)))
+                                       (jnp.float32(0), jnp.float32(0)),
+                                       impl=impl)
     return rgb.reshape(*batch, 3), sigma.reshape(batch), n_live
 
 
@@ -210,16 +234,19 @@ def render_rays(
         from nerf_rs_tpu.accel import query_occupancy
 
         occ_c = query_occupancy(grid, pts_c)
+        # Mask-only culling has no capacity (it cannot overflow); the dense
+        # total keeps aux["live_frac_coarse"] meaningful as the true
+        # occupied fraction.
         cap_c = _round_up(
             max(1, int(n_rays * cfg.n_coarse * cfg.accel_coarse_capacity)), 1024
-        )
+        ) if cfg.accel_compact != "none" else max(1, n_rays * cfg.n_coarse)
         # Culled/overflowed rows scatter back as rgb = 0, sigma = 0; their
         # compositing weight is exactly 0, so the zero color is inert and
         # gradients flow only through the evaluated rows (training uses
         # this path too — NerfAcc-style accelerated training).
         rgb_c, sigma_c, live_c = _mlp_culled(
             mlp, params_coarse, pts_c, dirs[..., None, :], occ_c, cap_c,
-            sigma_only=coarse_sigma_only,
+            sigma_only=coarse_sigma_only, impl=cfg.accel_compact,
         )
     else:
         rgb_c, sigma_c = mlp(
@@ -316,10 +343,11 @@ def render_rays(
         cap_f = _round_up(
             max(1, int(n_rays * (cfg.n_coarse + cfg.n_fine)
                        * cfg.accel_fine_capacity)), 1024
-        )
+        ) if cfg.accel_compact != "none" else max(
+            1, n_rays * (cfg.n_coarse + cfg.n_fine))
         rgb_f, sigma_f, live_f = _mlp_culled(
             mlp, params_fine, pts_f, dirs[..., None, :], mask_f, cap_f,
-            sigma_only=False,
+            sigma_only=False, impl=cfg.accel_compact,
         )
     else:
         rgb_f, sigma_f = mlp(params_fine, pts_f, dirs[..., None, :])
@@ -354,7 +382,8 @@ def render_rays(
 def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
                  n_rays_padded: int, cfg: RenderConfig, ray_id_base: jnp.ndarray = 0,
                  grid=None, return_live: bool = False,
-                 chunk: Optional[int] = None):
+                 chunk: Optional[int] = None,
+                 ray_ids_flat: Optional[jnp.ndarray] = None):
     """Chunked render of (N_padded, 3) unit dirs via lax.map. Per-ray RNG
     streams are derived from the GLOBAL ray index (ray_id_base + position),
     so the result is independent of the chunk size and of how rays were
@@ -365,20 +394,34 @@ def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
     partition — the sharded render passes the per-device chunk its
     padding was computed with (the default need not divide a padded
     per-device shard, e.g. ray_chunk=12288 with an 8192-aligned shard
-    rounded up to 16384)."""
+    rounded up to 16384).
+
+    ``ray_ids_flat`` ((N_padded,) int32) supplies EXPLICIT per-ray RNG ids
+    instead of ray_id_base + position — the ray-culled render passes each
+    packed ray's original image index, keeping the packed image bitwise
+    equal (per surviving ray) to the unpacked one."""
     chunk = chunk or min(cfg.ray_chunk, n_rays_padded)
     n_chunks = n_rays_padded // chunk
     dirs_chunks = dirs_flat.reshape(n_chunks, chunk, 3)
 
-    def body(args):
-        idx, d = args
-        ids = ray_id_base + idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    def render_chunk(d, ids):
         return render_rays(
             params_coarse, params_fine, origin, d, near, far,
             key, cfg, ray_ids=ids, grid=grid, return_live=return_live,
         )
 
-    out = jax.lax.map(body, (jnp.arange(n_chunks), dirs_chunks))
+    if ray_ids_flat is None:
+        def body(args):
+            idx, d = args
+            ids = ray_id_base + idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            return render_chunk(d, ids)
+
+        out = jax.lax.map(body, (jnp.arange(n_chunks), dirs_chunks))
+    else:
+        out = jax.lax.map(
+            lambda args: render_chunk(*args),
+            (dirs_chunks, ray_ids_flat.reshape(n_chunks, chunk)),
+        )
     if return_live:
         out, (live_c, live_f) = out
         return out.reshape(n_rays_padded, 3), (jnp.max(live_c), jnp.max(live_f))
@@ -440,6 +483,70 @@ def render_image_aux(
             acc[:n].reshape(height, width))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ray_cull_order(grid, origin, dirs_flat, near, far, cfg: RenderConfig):
+    """Stable hit-rays-first permutation of the flat ray index, plus the
+    hit count. A ray "hits" when its occupied sample range is
+    non-degenerate — the same range the sampler would use (probe-refined
+    when the config samples that way, else the occupied-AABB chord), so
+    culled rays are exactly those the accel render composites to pure
+    background anyway (every sample lands outside occupancy -> sigma = 0)."""
+    from nerf_rs_tpu.accel import ray_aabb_range, ray_occupied_range
+
+    if cfg.accel_sample_aabb and cfg.accel_aabb_probes > 0:
+        t0, t1 = ray_occupied_range(grid, origin, dirs_flat, near, far,
+                                    probes=cfg.accel_aabb_probes)
+    else:
+        t0, t1 = ray_aabb_range(grid, origin, dirs_flat, near, far)
+    hit = (t1 > t0).reshape(-1)
+    # stable ascending sort of (not hit): hits first, image order preserved
+    order = jnp.argsort(~hit).astype(jnp.int32)
+    return order, jnp.sum(hit.astype(jnp.int32))
+
+
+def _render_image_culled(params_c, params_f, camera, height, width, key, cfg,
+                         grid):
+    """Ray-culled full-frame render: pack the rays whose occupied range is
+    non-degenerate to the front (device-side stable sort; only the hit
+    COUNT crosses to the host), render only ceil(hits/chunk) chunks, and
+    scatter results back over a background-filled frame. On object-on-
+    background scenes (lego: ~half the pixels never touch occupancy) this
+    halves the rendered rays outright — work reduction at RAY granularity,
+    where one permutation amortizes over ~10^8 FLOPs/ray, unlike the
+    per-sample compaction that measured 7x slower than dense (accel.py).
+
+    Per-ray RNG ids are the ORIGINAL image indices, so surviving rays are
+    bitwise identical to the unpacked accel render; culled rays match it
+    by the occupancy argument above. The rendered chunk count is rounded
+    up to 4-chunk multiples so nearby cameras reuse one compiled program.
+    """
+    _, dirs = camera_rays(camera, height, width)
+    n = height * width
+    chunk = min(cfg.ray_chunk, max(n, 1))
+    dirs_flat = dirs.reshape(n, 3)
+    origin = jnp.asarray(camera.position)
+    near, far = jnp.asarray(camera.near), jnp.asarray(camera.far)
+    order, n_hit = _ray_cull_order(grid, origin, dirs_flat, near, far, cfg)
+    n_hit = max(int(n_hit), 1)                     # the one host sync point
+    n_chunks = _round_up(-(-n_hit // chunk), 4)
+    n_render = min(n_chunks * chunk, _round_up(n, chunk))
+    if n_render > n:
+        # wrap-pad with leading (hit) rays: duplicates render to identical
+        # values (same ray id -> same RNG stream), so the scatter below is
+        # deterministic.
+        order_r = jnp.concatenate([order, order[: n_render - n]])
+    else:
+        order_r = order[:n_render]
+    rgb = _render_flat(
+        params_c, params_f, origin, jnp.take(dirs_flat, order_r, axis=0),
+        near, far, key, n_render, cfg, grid=grid, chunk=chunk,
+        ray_ids_flat=order_r,
+    )
+    bg = 1.0 if cfg.white_background else 0.0
+    img = jnp.full((n, 3), bg, jnp.float32).at[order_r].set(rgb)
+    return img.reshape(height, width, 3)
+
+
 def render_image(
     params_coarse,
     params_fine,
@@ -454,8 +561,13 @@ def render_image(
     """Render a full (height, width, 3) image on the current device(s).
     Pass an accel.OccupancyGrid as ``grid`` for empty-space skipping;
     ``return_live`` (accel only) also returns the worst-chunk (coarse,
-    fine) live sample counts for capacity calibration."""
+    fine) live sample counts for capacity calibration. With
+    cfg.accel_cull_rays (and a grid), background rays are culled at the
+    image level before rendering (_render_image_culled)."""
     cfg = cfg or RenderConfig()
+    if grid is not None and cfg.accel_cull_rays and not return_live:
+        return _render_image_culled(params_coarse, params_fine, camera,
+                                    height, width, key, cfg, grid)
     _, dirs = camera_rays(camera, height, width)
     n = height * width
     chunk = min(cfg.ray_chunk, max(n, 1))

@@ -159,7 +159,10 @@ def test_suggest_capacities_fixes_overflow(lego_params, golden):
     >40 dB accel contract."""
     from nerf_rs_tpu.accel import build_scene_grid, suggest_capacities
 
-    cfg = RenderConfig(n_coarse=32, n_fine=64, ray_chunk=2048)
+    # Overflow only exists in the compaction modes — mask-only (the
+    # default since round 3) evaluates densely and cannot drop samples.
+    cfg = RenderConfig(n_coarse=32, n_fine=64, ray_chunk=2048,
+                       accel_compact="scatter")
     grid = build_scene_grid(
         lego_params["coarse"], lego_params["fine"],
         resolution=48, aabb=(-1.8, 1.8), sigma_threshold=0.1,
@@ -337,3 +340,119 @@ def test_probe_range_tighter_than_box(lego_params, golden):
                       -fwd * jnp.ones((8, 1)), cam.near, cam.far,
                       jax.random.key(0), cfg, grid=grid)
     np.testing.assert_array_equal(np.asarray(rgb), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 accel redesign: mask-only culling + ray-level packing (the measured
+# TPU winners; per-sample compaction lost to the dense pipeline outright —
+# scatter 44 K / gather 21 K vs 291 K rays/s at 800x800, accel.py).
+# ---------------------------------------------------------------------------
+
+
+def _lego_grid(lego_params, res=32):
+    from nerf_rs_tpu.accel import build_scene_grid
+
+    return build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=res, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=res * res * res, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+
+
+def test_mask_only_matches_compact_at_full_capacity(lego_params, golden):
+    """accel_compact='none' (dense eval + zeroed sigma) evaluates exactly
+    the same culled set as the compaction forms; with ample capacity the
+    images agree to float tolerance (different batch layouts only)."""
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(3)
+    base = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=128,
+                        accel_coarse_capacity=1.0, accel_fine_capacity=1.0)
+    mask = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                        16, 16, key, base.replace(accel_compact="none"),
+                        grid=grid)
+    compact = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                           16, 16, key, base.replace(accel_compact="scatter"),
+                           grid=grid)
+    np.testing.assert_allclose(np.asarray(mask), np.asarray(compact),
+                               atol=2e-5)
+
+
+def test_mask_only_is_the_default_and_holds_contract(lego_params, golden):
+    """The default accel mode (no cfg overrides) is mask-only and stays
+    within the 40 dB accel contract vs the exact render."""
+    assert RenderConfig().accel_compact == "none"
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(5)
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=128)
+    exact = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                         16, 16, key, cfg)
+    fast = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                        16, 16, key, cfg, grid=grid)
+    mse = float(jnp.mean((exact - fast) ** 2))
+    assert -10.0 * np.log10(max(mse, 1e-12)) > 40.0
+
+
+def test_cull_rays_bitwise_matches_unpacked(lego_params, golden):
+    """Ray-level packing is a pure reordering: per-ray RNG ids keep every
+    surviving ray bitwise identical to the unpacked accel render, and
+    culled rays composite to the same background the unpacked render
+    evaluates them to."""
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(7)
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64)
+    unpacked = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                            24, 24, key, cfg, grid=grid)
+    packed = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                          24, 24, key, cfg.replace(accel_cull_rays=True),
+                          grid=grid)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(unpacked))
+
+
+def test_cull_rays_with_aabb_probe_placement(lego_params, golden):
+    """Packing composes with probe-refined AABB sample placement (the
+    culling test then uses the probe ranges too) and stays bitwise equal
+    to its own unpacked render."""
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(9)
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64,
+                       accel_sample_aabb=True, accel_aabb_probes=32)
+    unpacked = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                            24, 24, key, cfg, grid=grid)
+    packed = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                          24, 24, key, cfg.replace(accel_cull_rays=True),
+                          grid=grid)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(unpacked))
+
+
+def test_cull_rays_empty_grid_is_background(lego_params, golden):
+    """A fully empty grid culls every ray: the packed render must still
+    return a complete frame (pure background), not crash on a zero hit
+    count."""
+    grid = _lego_grid(lego_params)
+    empty = OccupancyGrid(occ=jnp.zeros_like(grid.occ),
+                          aabb_min=grid.aabb_min, aabb_max=grid.aabb_max)
+    cam = camera_from_golden(golden)
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64,
+                       accel_cull_rays=True)
+    img = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                       16, 16, jax.random.key(0), cfg, grid=empty)
+    np.testing.assert_array_equal(np.asarray(img), 1.0)
+
+
+def test_cull_rays_gradients_not_needed_path_guard(lego_params, golden):
+    """return_live (capacity calibration) ignores the packing flag — the
+    calibration measurement keeps the dense layout it was written for."""
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64,
+                       accel_cull_rays=True, accel_compact="scatter",
+                       accel_coarse_capacity=1.0, accel_fine_capacity=1.0)
+    img, (live_c, live_f) = render_image(
+        lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+        jax.random.key(1), cfg, grid=grid, return_live=True)
+    assert img.shape == (16, 16, 3)
+    assert int(live_c) >= 0 and int(live_f) >= 0

@@ -65,11 +65,18 @@ run base_800            NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0
 run interleave_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_INTERLEAVE=1
 run psampling_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLING=pallas
 run accel_800           NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
-# Compaction impl A/B: gather-only (cumsum+searchsorted, the default since
-# 2026-08-18) vs the original scatter formulation (TPU scatters serialize
-# -> measured 44 K vs 291 K exact; gather is the fix candidate):
-run accel_gc_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=gather
-run accel_scatter_800   NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=scatter
+# Compaction impl A/B (historical: BOTH lose to dense — scatter 44 K,
+# gather 21 K vs 291 K exact, 2026-08-18; cull disabled for isolation):
+run accel_gc_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=gather NERF_BENCH_CULL_RAYS=0
+run accel_scatter_800   NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=scatter NERF_BENCH_CULL_RAYS=0
+# Accel redesign (2026-08-18, round 3): mask-only culling (dense MLP,
+# occupancy-zeroed sigma — zero compaction overhead) + ray-level packing
+# (background rays composited without rendering). accel_mask isolates the
+# mask overhead; accel_cull is the combined new default accel path.
+run accel_mask_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_CULL_RAYS=0
+run accel_cull_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
+run accel_cull_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
+run accel_cull_probe    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
 # Winner combos
 run accel_interleave    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_FUSED_INTERLEAVE=1
 run accel_psampling     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_SAMPLING=pallas
