@@ -143,11 +143,7 @@ def cmd_render(args) -> int:
         cfg = cfg.replace(
             accel_compact=getattr(args, "accel_compact", "none"))
         if getattr(args, "accel_cull_rays", False):
-            if args.sharded:
-                print("note: --accel-cull-rays is single-device only "
-                      "(the sharded render keeps its static ray layout)")
-            else:
-                cfg = cfg.replace(accel_cull_rays=True)
+            cfg = cfg.replace(accel_cull_rays=True)
         from nerf_rs_tpu.accel import hashgrid_grid_kwargs
 
         grid_kw = hashgrid_grid_kwargs(cfg) if cfg.model == "hashgrid" else {}
@@ -852,7 +848,7 @@ def main(argv=None) -> int:
     p.add_argument("--accel-cull-rays", action="store_true",
                    help="pack away rays that miss the occupied box and "
                         "composite them to background without rendering "
-                        "(single-device render path)")
+                        "(works single-device and --sharded)")
     p.add_argument("--trace-dir", help="write a jax.profiler trace here")
     p.add_argument("--depth-output",
                    help="also write the depth map (expected-t, near=white) "

@@ -46,22 +46,38 @@ def effective_chunk(n_rays: int, n_devices: int, cfg: RenderConfig) -> int:
                    static_argnames=("n_per_dev", "cfg", "mesh", "chunk"))
 def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
                          far, key, n_per_dev: int, cfg: RenderConfig, mesh,
-                         grid=None, chunk: Optional[int] = None):
-    def per_device(dirs_shard):
-        dev = jax.lax.axis_index(RAY_AXIS)
-        base = (dev * n_per_dev).astype(jnp.int32)
-        return _render_flat(params_coarse, params_fine, origin, dirs_shard,
-                            near, far, key, n_per_dev, cfg, ray_id_base=base,
-                            grid=grid, chunk=chunk)
+                         grid=None, chunk: Optional[int] = None,
+                         ray_ids_flat: Optional[jnp.ndarray] = None):
+    """``ray_ids_flat`` ((n_pad,) int32, ray-sharded like dirs) supplies
+    explicit per-ray RNG ids — the ray-culled sharded render passes each
+    packed ray's original image index so packing and sharding stay
+    RNG-invariant (render._render_flat)."""
+    if ray_ids_flat is None:
+        def per_device(dirs_shard):
+            dev = jax.lax.axis_index(RAY_AXIS)
+            base = (dev * n_per_dev).astype(jnp.int32)
+            return _render_flat(params_coarse, params_fine, origin,
+                                dirs_shard, near, far, key, n_per_dev, cfg,
+                                ray_id_base=base, grid=grid, chunk=chunk)
+
+        in_specs, args = (P(RAY_AXIS),), (dirs_flat,)
+    else:
+        def per_device(dirs_shard, ids_shard):
+            return _render_flat(params_coarse, params_fine, origin,
+                                dirs_shard, near, far, key, n_per_dev, cfg,
+                                grid=grid, chunk=chunk,
+                                ray_ids_flat=ids_shard)
+
+        in_specs, args = (P(RAY_AXIS), P(RAY_AXIS)), (dirs_flat, ray_ids_flat)
 
     fn = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(RAY_AXIS),),
+        in_specs=in_specs,
         out_specs=P(RAY_AXIS),
         # Pallas calls don't carry varying-mesh-axis metadata yet.
         check_vma=False,
     )
-    return fn(dirs_flat)
+    return fn(*args)
 
 
 @functools.partial(jax.jit,
@@ -129,13 +145,58 @@ def render_image_sharded(
 
     Bitwise identical to render.render_image for the same key thanks to
     global-ray-index RNG streams. ``grid`` (accel.OccupancyGrid) is
-    replicated to every device.
+    replicated to every device. With cfg.accel_cull_rays, background rays
+    are packed away before sharding (the multi-chip variant of
+    render._render_image_culled); surviving rays stay bitwise equal.
     """
+    cfg = cfg or RenderConfig()
+    if grid is not None and cfg.accel_cull_rays:
+        return _render_image_culled_sharded(
+            params_coarse, params_fine, camera, height, width, key, cfg,
+            mesh or make_mesh(), grid)
     rgb, n = render_flat_sharded(
         params_coarse, params_fine, camera, height, width, key, cfg, mesh,
         grid=grid,
     )
     return rgb[:n].reshape(height, width, 3)
+
+
+def _render_image_culled_sharded(params_c, params_f, camera, height, width,
+                                 key, cfg, mesh, grid):
+    """Ray-culled sharded render: pack hit rays first (device-side stable
+    sort, one hit-count host sync — render._ray_cull_order), shard the
+    packed prefix evenly over the mesh, and scatter results back over a
+    background frame. Each device renders ceil(hits / n_dev) rays instead
+    of ceil(n / n_dev) — the ray-culling win composes with data
+    parallelism. NOT used by the multihost flat path (render_flat_sharded
+    keeps its static ray-sharded layout for .addressable_shards readers).
+    """
+    from nerf_rs_tpu.render import _ray_cull_order
+
+    n_dev = mesh.devices.size
+    _, dirs = camera_rays(camera, height, width)
+    n = height * width
+    dirs_flat = dirs.reshape(n, 3)
+    origin = jnp.asarray(camera.position)
+    near, far = jnp.asarray(camera.near), jnp.asarray(camera.far)
+    order, n_hit = _ray_cull_order(grid, origin, dirs_flat, near, far, cfg)
+    n_hit = max(int(n_hit), 1)                      # the one host sync point
+    chunk = effective_chunk(n, n_dev, cfg)
+    dense_per_dev = _round_up(-(-n // n_dev), chunk)
+    n_per_dev = min(_round_up(-(-n_hit // n_dev), chunk), dense_per_dev)
+    n_render = n_per_dev * n_dev
+    # Wrap-pad with leading (hit) rays — duplicates render to identical
+    # values (same ray id -> same RNG stream). Modular take handles
+    # n_render > 2n (many devices x chunk on small images).
+    order_r = jnp.take(order, jnp.arange(n_render, dtype=jnp.int32) % n)
+    rgb = _render_flat_sharded(
+        params_c, params_f, origin, jnp.take(dirs_flat, order_r, axis=0),
+        near, far, key, n_per_dev, cfg, mesh, grid=grid, chunk=chunk,
+        ray_ids_flat=order_r,
+    )
+    bg = 1.0 if cfg.white_background else 0.0
+    img = jnp.full((n, 3), bg, jnp.float32).at[order_r].set(rgb)
+    return img.reshape(height, width, 3)
 
 
 def render_flat_sharded(

@@ -396,3 +396,35 @@ def test_single_pass_accel_matches_dense(lego_params):
                         jnp.zeros(3), dirs, 2.0, 6.0, key, cfg, ray_ids=ids,
                         grid=grid)
     np.testing.assert_allclose(np.asarray(accel), np.asarray(dense), atol=1e-5)
+
+
+def test_sharded_culled_render_matches_single(lego_params, golden):
+    """Ray-level packing under shard_map (accel_cull_rays): each device
+    renders only its share of the packed hit rays, yet the frame is
+    bitwise equal to the single-device render — packing, sharding, and
+    chunking are all RNG-invariant reorderings."""
+    from nerf_rs_tpu.accel import build_scene_grid
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+    from nerf_rs_tpu.parallel.render_sharded import render_image_sharded
+    from nerf_rs_tpu.render import render_image
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=24, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=24 * 24 * 24, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cam = camera_from_golden(golden)
+    cfg = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=64,
+                       accel_cull_rays=True)
+    key = jax.random.key(13)
+    img_s = render_image_sharded(lego_params["coarse"], lego_params["fine"],
+                                 cam, 24, 24, key, cfg, grid=grid)
+    img_1 = render_image(lego_params["coarse"], lego_params["fine"],
+                         cam, 24, 24, key, cfg, grid=grid)
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
+    # ...and both equal the unpacked dense-layout render.
+    plain = render_image(lego_params["coarse"], lego_params["fine"],
+                         cam, 24, 24, key, cfg.replace(accel_cull_rays=False),
+                         grid=grid)
+    np.testing.assert_array_equal(np.asarray(img_1), np.asarray(plain))
