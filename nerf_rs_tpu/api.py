@@ -100,7 +100,10 @@ def init_renderer(assets_dir: Optional[str] = None,
         # Reference wasm used reduced sample counts (32, 64) for interactive
         # latency (lib.rs:604-607); on TPU the full counts stay interactive.
         # Re-inits that only flip the accel mode keep the configured cfg.
-        new_cfg = cfg or _state.get("cfg") or RenderConfig(ray_chunk=16384)
+        # The accel default serves the measured round-3 winners (mask-only
+        # culling + ray packing); an explicit cfg overrides.
+        new_cfg = cfg or _state.get("cfg") or RenderConfig(
+            ray_chunk=16384, accel_cull_rays=True)
         new_cfg = new_cfg.replace(model="mlp")
         if checkpoint is not None:
             import jax
@@ -180,7 +183,9 @@ def render_image_rgba(width: int, height: int, seed: int = 0) -> np.ndarray:
         params = _state["params"]
         camera = _state["camera"]
         size_cfgs = _state["size_cfgs"]
-    if grid is not None:
+    if grid is not None and base_cfg.accel_compact != "none":
+        # Compaction modes need per-size capacity calibration; mask-only
+        # (the default) has no capacities — serve base_cfg directly.
         with _lock:
             cfg = size_cfgs.get((width, height))
         if cfg is None:

@@ -592,9 +592,17 @@ def cmd_train(args) -> int:
             frac = float(occ.mean())  # capacities cover explore cells too
             cap_c, cap_f = capacities_from_occupancy(frac, cfg.render)
             if cap_c >= 1.0:
-                print(f"accel: grid {frac:.1%} occupied — compaction "
-                      "would cull nothing, training dense this period")
+                print(f"accel: grid {frac:.1%} occupied — culling would "
+                      "skip nothing, training dense this period")
                 return None, cfg
+            if cfg.render.accel_compact == "none":
+                # Mask-only culling (the default): no capacities to tune —
+                # the grid zeroes sigma/gradient in empty cells at dense
+                # cost, which is the NerfAcc training benefit (cleaner
+                # gradients) without the measured compaction slowdown.
+                print(f"accel: rebuilt {args.accel_res}^3 grid "
+                      f"({frac:.1%} occupied; mask-only)")
+                return g, cfg
             new_cfg = cfg.replace(render=cfg.render.replace(
                 accel_coarse_capacity=cap_c, accel_fine_capacity=cap_f))
             print(f"accel: rebuilt {args.accel_res}^3 grid ({frac:.1%} "

@@ -64,9 +64,17 @@ def test_accel_mode_serves_close_images(assets_dir):
     try:
         api.init_renderer(cfg=SMALL, accel=True, accel_res=32)
         fast = api.render_image_rgba(16, 16, seed=0).astype(np.float32)
+        # Mask-only culling (the default) has no capacities: no per-size
+        # calibration entry is (or needs to be) recorded.
+        assert (16, 16) not in api._state["size_cfgs"]
+        # A compaction-mode cfg still calibrates per size.
+        api.init_renderer(cfg=SMALL.replace(accel_compact="scatter"),
+                          accel=True, accel_res=32)
+        api.render_image_rgba(16, 16, seed=0)
+        assert (16, 16) in api._state["size_cfgs"]
+        api.init_renderer(cfg=SMALL, accel=True, accel_res=32)
     finally:
         accel_mod.build_occupancy_grid = orig
-    assert (16, 16) in api._state["size_cfgs"]
 
     mse = float(np.mean((exact - fast) ** 2))  # u8 scale
     psnr = 20 * np.log10(255.0) - 10 * np.log10(max(mse, 1e-12))
