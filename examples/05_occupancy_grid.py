@@ -61,19 +61,35 @@ def main() -> None:
     print(f"grid: {args.resolution}^3 in {time.perf_counter() - t0:.1f}s, "
           f"{occ:.1%} occupied")
 
-    # Derive chunk-safe capacities from this camera's actual rays, so
-    # compaction never overflows (overflow would silently zero samples).
-    cfg = suggest_capacities(grid, camera, args.size, args.size, cfg)
-    print(f"capacities: coarse {cfg.accel_coarse_capacity:.2f}, "
-          f"fine {cfg.accel_fine_capacity:.2f}")
-
     exact = np.asarray(render_image(pc, pf, camera, args.size, args.size, key, cfg))
+
+    # Default accel mode (round 3): mask-only culling — dense evaluation
+    # with occupancy-zeroed sigma. Per-sample compaction measured 7-14x
+    # SLOWER than dense on v5e (docs/PERF.md), so it is A/B-only now.
     fast = np.asarray(render_image(pc, pf, camera, args.size, args.size, key, cfg,
                                    grid=grid))
     mse = float(np.mean((exact - fast) ** 2))
     psnr = -10 * np.log10(max(mse, 1e-12))
     print(f"accelerated vs exact: {psnr:.1f} dB PSNR "
           f"(>40 dB means visually identical)")
+
+    # Ray-level packing: background rays (about half the lego frame) are
+    # composited without rendering — bitwise identical to the render above.
+    packed = np.asarray(render_image(pc, pf, camera, args.size, args.size, key,
+                                     cfg.replace(accel_cull_rays=True),
+                                     grid=grid))
+    print(f"ray-culled render bitwise equal: {bool((packed == fast).all())}")
+
+    # The retired compaction mode, for comparison (needs capacities sized
+    # to this camera so overflow cannot silently zero real samples).
+    ccfg = suggest_capacities(grid, camera, args.size, args.size,
+                              cfg.replace(accel_compact="scatter"))
+    print(f"compaction A/B capacities: coarse {ccfg.accel_coarse_capacity:.2f}, "
+          f"fine {ccfg.accel_fine_capacity:.2f}")
+    compact = np.asarray(render_image(pc, pf, camera, args.size, args.size, key,
+                                      ccfg, grid=grid))
+    mse = float(np.mean((exact - compact) ** 2))
+    print(f"compaction vs exact: {-10 * np.log10(max(mse, 1e-12)):.1f} dB PSNR")
 
 
 if __name__ == "__main__":

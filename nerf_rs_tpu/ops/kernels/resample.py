@@ -105,7 +105,9 @@ def _kernel(nc, nf, t_threshold, pdf_eps, cdf_eps,
     lanes = 2 * nc + nf
     x = packed_ref[:]                                 # (R, lanes)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    far = far_ref[0, 0]
+    far = far_ref[:]                                  # (R, 1) — per-ray far
+    #     (the AABB-clamped modes give each ray its own effective far;
+    #     the uniform case broadcasts one value into the column)
 
     t = x                                             # lanes 0:nc valid
     sigma = _roll(x, -nc, lanes)         # sigma[j] at lane j
@@ -178,7 +180,8 @@ def _resample_call(packed, far, nc, nf, t_threshold, pdf_eps, cdf_eps,
         grid=(grid,),
         in_specs=[
             data_spec,
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=data_spec,
         out_shape=jax.ShapeDtypeStruct((n, lanes), jnp.float32),
@@ -198,7 +201,9 @@ def fused_resample(
 ) -> jnp.ndarray:
     """(t_c (N, Nc), sigma_c (N, Nc), u (N, Nf), far) -> merged sorted
     t (N, Nc+Nf). One fused kernel for the whole coarse->fine resampling
-    chain. Forward only (no VJP) — see module docstring."""
+    chain. ``far`` is a scalar or per-ray (N,)/(N, 1) — the AABB-clamped
+    accel modes cap each ray's integration range individually. Forward
+    only (no VJP) — see module docstring."""
     nc, nf = int(t_c.shape[-1]), int(u.shape[-1])
     if not supported(nc, nf):
         raise NotImplementedError(
@@ -216,12 +221,19 @@ def fused_resample(
         [t_c.astype(jnp.float32), sigma_c.astype(jnp.float32),
          u.astype(jnp.float32)], axis=-1,
     )
+    far_col = jnp.broadcast_to(
+        jnp.asarray(far, jnp.float32).reshape(-1, 1)
+        if jnp.ndim(far) > 0 else jnp.asarray(far, jnp.float32),
+        (n, 1),
+    )
     if pad:
         filler = jnp.tile(packed[:1], (pad, 1))
         packed = jnp.concatenate([packed, filler], axis=0)
+        far_col = jnp.concatenate(
+            [far_col, jnp.tile(far_col[:1], (pad, 1))], axis=0)
     interpret = jax.default_backend() != "tpu"
     out = _resample_call(
-        packed, jnp.asarray(far, jnp.float32).reshape(1, 1), nc, nf,
+        packed, far_col, nc, nf,
         float(t_threshold), float(pdf_eps), float(cdf_eps), interpret,
     )
     return out[:n, : nc + nf]

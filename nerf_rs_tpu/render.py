@@ -290,9 +290,6 @@ def render_rays(
         and not return_aux                       # fwd-only kernel
         and _resample_mod.supported(cfg.n_coarse, cfg.n_fine)
         and dirs.ndim == 2
-        # AABB-clamped modes give each ray its own effective far (far_w);
-        # the kernel takes one scalar far — fall back to the XLA chain.
-        and not (accel and cfg.accel_sample_aabb)
     )
     if use_fused_resample:
         from nerf_rs_tpu.ops.kernels.resample import fused_resample

@@ -456,3 +456,22 @@ def test_cull_rays_gradients_not_needed_path_guard(lego_params, golden):
         jax.random.key(1), cfg, grid=grid, return_live=True)
     assert img.shape == (16, 16, 3)
     assert int(live_c) >= 0 and int(live_f) >= 0
+
+
+def test_cull_rays_full_grid_matches_unpacked(lego_params, golden):
+    """All-occupied grid: every ray hits, the packed layout degenerates to
+    the dense one (capped at the dense pad), and the image still matches
+    the unpacked accel render bitwise — the cap/wrap-pad arithmetic is
+    exercised at its boundary."""
+    grid = _lego_grid(lego_params)
+    full = OccupancyGrid(occ=jnp.ones_like(grid.occ),
+                         aabb_min=grid.aabb_min, aabb_max=grid.aabb_max)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(2)
+    cfg = RenderConfig(n_coarse=8, n_fine=16, ray_chunk=64)
+    unpacked = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                            24, 24, key, cfg, grid=full)
+    packed = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                          24, 24, key, cfg.replace(accel_cull_rays=True),
+                          grid=full)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(unpacked))

@@ -181,3 +181,51 @@ def test_supported_rejects_non_pow2_lane_width():
     assert supported(32, 64)           # wasm preset: 128 lanes
     assert not supported(64, 256)      # 384 lanes: pow2 counts, bad width
     assert not supported(128, 512)     # 768 lanes
+
+
+def test_fused_resample_per_ray_far_matches_xla():
+    """Per-ray far (the AABB-clamped modes cap each ray's integration
+    range individually): the kernel's (R, 1) far column must match the
+    XLA chain's broadcast semantics row for row."""
+    cfg = RenderConfig()
+    t_c, sigma, u = _inputs(96, seed=4)
+    rng = np.random.default_rng(7)
+    far = jnp.asarray(rng.uniform(5.0, 6.0, size=(96, 1)).astype(np.float32))
+    got = fused_resample(t_c, sigma, u, far, t_threshold=cfg.t_threshold,
+                         pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
+    want = _xla_chain(t_c, sigma, u, far, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-5)
+    # Scalar far still works and equals a constant column.
+    got_s = fused_resample(t_c, sigma, u, 6.0, t_threshold=cfg.t_threshold,
+                           pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
+    got_c = fused_resample(t_c, sigma, u, jnp.full((96, 1), 6.0),
+                           t_threshold=cfg.t_threshold,
+                           pdf_eps=cfg.pdf_eps, cdf_eps=cfg.cdf_eps)
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(got_c))
+
+
+def test_render_fused_sampling_composes_with_aabb(lego_params, golden):
+    """sampling_impl='pallas' now serves the AABB-clamped accel modes too
+    (per-ray far_w): image stays close to the same config on the XLA
+    sampling chain."""
+    from nerf_rs_tpu.accel import build_scene_grid
+    from nerf_rs_tpu.io.golden import camera_from_golden
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+    from nerf_rs_tpu.render import render_image
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=32, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=32 ** 3, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cam = camera_from_golden(golden)
+    key = jax.random.key(17)
+    base = RenderConfig(n_coarse=64, n_fine=128, ray_chunk=64,
+                        accel_sample_aabb=True, accel_aabb_probes=32)
+    img_x = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                         8, 8, key, base, grid=grid)
+    img_p = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                         8, 8, key, base.replace(sampling_impl="pallas"),
+                         grid=grid)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-3)

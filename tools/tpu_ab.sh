@@ -105,6 +105,9 @@ run s16x32_accel_aabb   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=16,32 NERF_BENCH_
 # Per-ray probe-refined ranges (tighter than the box chord; CPU spot
 # checks are seed-noisy at tiny sizes — the 800x800 full_psnr_db decides):
 run s32x64_aabb_probe   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
+# Fused-resample kernel on the AABB-clamped reduced preset (per-ray far
+# support landed round 3 — the kernel serves (32,64) and clamped modes):
+run s32x64_aabb_psamp   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_SAMPLING=pallas
 run s16x32_aabb_probe   NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=16,32 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
 # Kernel batch-tile width (default 1024; VMEM pressure vs per-step overhead):
 run tile512_800         NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=512
