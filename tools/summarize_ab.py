@@ -23,11 +23,22 @@ BASELINES = {
     "tile512_800": "base_800",
     "tile2048_800": "base_800",
     "accel_800": "base_800",
+    # Round-3 accel redesign: mask-only culling + ray packing. accel_mask
+    # isolates the occupancy-mask overhead vs dense; accel_cull is the new
+    # default accel path (mask + packing) and must beat the DENSE baseline
+    # to earn the headline; the compaction legs are the retired design.
+    "accel_mask_800": "base_800",
+    "accel_cull_800": "base_800",
+    "accel_cull_aabb": "accel_cull_800",
+    "accel_cull_probe": "accel_cull_800",
+    "accel_gc_800": "base_800",
+    "accel_scatter_800": "base_800",
     "accel_interleave": "accel_800",
     "accel_psampling": "accel_800",
     "accel256_800": "accel_800",
     "accel_tight_800": "accel_800",
     "accel_aabb_800": "accel_800",
+    "s32x64_aabb_psamp": "s32x64_accel_aabb",
     "default_800": "base_800",
     "train": "train_xla",
     "train_accel": "train",

@@ -15,7 +15,9 @@ cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/tpu_convergence}"
 LOG="$OUT/run.log"
 CKPT="$OUT/ckpts"
-CHUNK="${CONV_CHUNK:-2000}"
+CHUNK="${CONV_CHUNK:-1000}"  # 2000-step chunks at f32/16K rays measured
+#                              ~1.5 s/step wall on the tunneled v5e — past
+#                              the 1800 s lock window; 1000 fits with slack
 # All TPU invocations serialize on the same flock bench.py takes, so a
 # driver-launched bench waits for an in-flight chunk instead of racing it
 # (two concurrent clients can wedge the tunnel). Chunks are sized to hold
@@ -43,11 +45,29 @@ while [ "$steps" -lt "$MAX_STEPS" ]; do
     --steps "$steps" --checkpoint-dir "$CKPT" \
     --checkpoint-every 1000 --log-every 200 >> "$LOG" 2>&1
   rc=$?
-  if [ $rc -ne 0 ]; then
+  if [ $rc -eq 124 ]; then
+    # `timeout` SIGTERMs the trainer, which checkpoints gracefully and
+    # exits 0 — but timeout still reports 124. Progress is preserved:
+    # resync the step counter to the latest checkpoint and keep going
+    # instead of abandoning the run (the round-2 behavior lost a whole
+    # convergence run to one slow chunk).
+    echo "train chunk hit the chunk timeout — resuming from latest checkpoint" | tee -a "$LOG"
+  elif [ $rc -ne 0 ]; then
     echo "train chunk failed (rc=$rc)" | tee -a "$LOG"
     tail -5 "$LOG" >&2
     exit 1
   fi
+  latest=$(ls -d "$CKPT"/step_* 2>/dev/null | sort | tail -1 | grep -oE '[0-9]+$' || true)
+  if [ -n "${latest:-}" ]; then
+    if [ "$((10#$latest))" -le "${prev_steps:-0}" ]; then
+      # No forward progress this chunk (compile ate the window / wedge):
+      # bail instead of looping on the same checkpoint forever.
+      echo "no progress past step ${prev_steps:-0} this chunk — aborting" | tee -a "$LOG"
+      exit 1
+    fi
+    steps=$((10#$latest))   # actual progress, not the requested target
+  fi
+  prev_steps=$steps
   echo "=== evaluate @ step $steps ===" | tee -a "$LOG"
   ev=$($TPU timeout 1200 python -m nerf_rs_tpu evaluate \
        --checkpoint-dir "$CKPT" --size "$EVAL_SIZE" 2>>"$LOG")
