@@ -175,6 +175,8 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
         # for bench history).
         if os.environ.get("NERF_BENCH_ACCEL_T"):
             accel_tag += f"+t{os.environ['NERF_BENCH_ACCEL_T']}"
+        if os.environ.get("NERF_BENCH_ACCEL_THRESH"):
+            accel_tag += f"+thr{os.environ['NERF_BENCH_ACCEL_THRESH']}"
         if os.environ.get("NERF_BENCH_ACCEL_SLACK"):
             accel_tag += f"+slack{os.environ['NERF_BENCH_ACCEL_SLACK']}"
         if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
@@ -183,7 +185,8 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
                 accel_tag += f"+probes{os.environ['NERF_BENCH_AABB_PROBES']}"
         # accel semantics changed 2026-08-18: the default is now mask-only
         # culling + ray-level packing (no per-sample compaction). Tag any
-        # non-default combination so metric series don't alias.
+        # non-default combination so metric series don't alias ("off" =
+        # no per-sample culling at all, packing/placement only).
         if os.environ.get("NERF_ACCEL_COMPACT", "none") != "none":
             accel_tag += f"+c{os.environ['NERF_ACCEL_COMPACT']}"
         if os.environ.get("NERF_BENCH_CULL_RAYS", "1") in ("0", "false"):
@@ -519,9 +522,16 @@ def main() -> None:
 
             grid_kw = (hashgrid_grid_kwargs(cfg)
                        if cfg.model == "hashgrid" else {})
+            if os.environ.get("NERF_BENCH_ACCEL_THRESH"):
+                # Grid tightness (tools/grid_threshold_study.py): higher
+                # sigma thresholds shrink the occupied set -> more rays
+                # packed away, tighter AABB/probe spans. PSNR-guarded like
+                # every accel knob.
+                grid_kw["sigma_threshold"] = float(
+                    os.environ["NERF_BENCH_ACCEL_THRESH"])
             grid = build_scene_grid(params_c, params_f,
                                     resolution=_accel_res(), **grid_kw)
-            if cfg.accel_compact != "none":
+            if cfg.accel_compact not in ("none", "off"):
                 # Measured capacities: one instrumented render, then the
                 # timed renders run with the post-culling live set + 15%
                 # margin. Mask-only culling has no capacities to calibrate.

@@ -183,7 +183,7 @@ def render_image_rgba(width: int, height: int, seed: int = 0) -> np.ndarray:
         params = _state["params"]
         camera = _state["camera"]
         size_cfgs = _state["size_cfgs"]
-    if grid is not None and base_cfg.accel_compact != "none":
+    if grid is not None and base_cfg.accel_compact not in ("none", "off"):
         # Compaction modes need per-size capacity calibration; mask-only
         # (the default) has no capacities — serve base_cfg directly.
         with _lock:

@@ -157,8 +157,10 @@ def cmd_render(args) -> int:
 
             chunk = effective_chunk(args.height * args.width,
                                     jax.device_count(), cfg)
-        cap_note = "mask-only (no capacities)"
-        if cfg.accel_compact != "none":
+        cap_note = ("packing/placement only (no per-sample culling)"
+                    if cfg.accel_compact == "off"
+                    else "mask-only (no capacities)")
+        if cfg.accel_compact not in ("none", "off"):
             # Compaction modes need chunk-safe capacities; mask-only has
             # none to calibrate.
             if args.accel_calibrate or cfg.accel_sample_aabb:
@@ -595,7 +597,7 @@ def cmd_train(args) -> int:
                 print(f"accel: grid {frac:.1%} occupied — culling would "
                       "skip nothing, training dense this period")
                 return None, cfg
-            if cfg.render.accel_compact == "none":
+            if cfg.render.accel_compact in ("none", "off"):
                 # Mask-only culling (the default): no capacities to tune —
                 # the grid zeroes sigma/gradient in empty cells at dense
                 # cost, which is the NerfAcc training benefit (cleaner
@@ -849,9 +851,10 @@ def main(argv=None) -> int:
                         "intersection (same sample count, denser on the "
                         "object; implies --accel-calibrate)")
     p.add_argument("--accel-compact", default="none",
-                   choices=("none", "scatter", "gather"),
-                   help="how culled samples skip the MLP: mask-only (dense "
-                        "eval, zeroed sigma — the measured TPU winner) or "
+                   choices=("off", "none", "scatter", "gather"),
+                   help="per-sample culling: 'off' (grid steers ray packing "
+                        "+ placement only — rendered rays stay exact), "
+                        "'none' (mask-only: dense eval, zeroed sigma), or "
                         "fixed-capacity compaction (kept for A/B)")
     p.add_argument("--accel-cull-rays", action="store_true",
                    help="pack away rays that miss the occupied box and "

@@ -91,6 +91,17 @@ class RenderConfig:
     #                                  than the box chord for grazing rays;
     #                                  this many grid lookups per ray.
     accel_compact: str = "none"      # how culled sample rows skip the MLP:
+    #                                  "off"     — no per-sample culling AT
+    #                                              ALL: the grid steers ray
+    #                                              packing + AABB placement
+    #                                              only. Measured 2026-08-19:
+    #                                              the occupancy-mask gathers
+    #                                              alone cost 40% of a dense
+    #                                              frame (298K -> 182K rays/s)
+    #                                              while only zeroing sigma
+    #                                              where it is already ~0 —
+    #                                              rendered rays stay bitwise
+    #                                              exact without them.
     #                                  "none"    — mask-only: evaluate densely,
     #                                              zero sigma where culled. No
     #                                              FLOPs saved per sample, but

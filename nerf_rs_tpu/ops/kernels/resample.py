@@ -105,9 +105,13 @@ def _kernel(nc, nf, t_threshold, pdf_eps, cdf_eps,
     lanes = 2 * nc + nf
     x = packed_ref[:]                                 # (R, lanes)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    far = far_ref[:]                                  # (R, 1) — per-ray far
-    #     (the AABB-clamped modes give each ray its own effective far;
-    #     the uniform case broadcasts one value into the column)
+    far = far_ref[:, :1]                              # (R, 1) — per-ray far
+    #     (the AABB-clamped modes give each ray its own effective far; the
+    #     uniform case broadcasts one value in). The block is (R, 128) with
+    #     the value replicated across lanes: a (tile, 1) VMEM block spec
+    #     crashes the Mosaic compiler (measured 2026-08-19: remote-compile
+    #     HTTP 500, tpu_compile_helper exit 1), while in-kernel (R, 1)
+    #     slices + lane broadcasts are fine (csum/total below does one).
 
     t = x                                             # lanes 0:nc valid
     sigma = _roll(x, -nc, lanes)         # sigma[j] at lane j
@@ -180,7 +184,7 @@ def _resample_call(packed, far, nc, nf, t_threshold, pdf_eps, cdf_eps,
         grid=(grid,),
         in_specs=[
             data_spec,
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=data_spec,
@@ -221,10 +225,11 @@ def fused_resample(
         [t_c.astype(jnp.float32), sigma_c.astype(jnp.float32),
          u.astype(jnp.float32)], axis=-1,
     )
+    # Lane-replicated (n, 128) far block — see _kernel for why not (n, 1).
     far_col = jnp.broadcast_to(
         jnp.asarray(far, jnp.float32).reshape(-1, 1)
         if jnp.ndim(far) > 0 else jnp.asarray(far, jnp.float32),
-        (n, 1),
+        (n, 128),
     )
     if pad:
         filler = jnp.tile(packed[:1], (pad, 1))

@@ -230,7 +230,16 @@ def render_rays(
     # the single-pass mode composites it directly.
     single_pass = cfg.n_fine == 0
     coarse_sigma_only = not return_aux and not single_pass
-    if accel:
+    # accel_compact == "off": the grid steers ray packing
+    # (accel_cull_rays) and sample placement (accel_sample_aabb) only —
+    # no per-sample occupancy masking at all. Measured motivation
+    # (2026-08-19, v5e, 800x800): the mask's occupancy gathers alone cost
+    # 40% of the frame (298K -> 182K rays/s) while changing the image only
+    # in empty space where sigma is already ~0; without it, rendered rays
+    # are bitwise-exact and the PSNR guard still bounds the background
+    # deviation of packed-away rays.
+    mask_samples = accel and cfg.accel_compact != "off"
+    if mask_samples:
         from nerf_rs_tpu.accel import query_occupancy
 
         occ_c = query_occupancy(grid, pts_c)
@@ -252,6 +261,8 @@ def render_rays(
         rgb_c, sigma_c = mlp(
             params_coarse, pts_c, dirs[..., None, :], sigma_only=coarse_sigma_only
         )
+        if return_live:  # accel "off": every sample is live by definition
+            live_c = jnp.int32(n_rays * cfg.n_coarse)
 
     if single_pass:
         # Single-pass mode (n_fine == 0): no hierarchical resampling — the
@@ -277,9 +288,12 @@ def render_rays(
             "t_fine": t_c,
             "depth": jnp.sum(w_c * t_c, axis=-1),
         }
-        if accel:
+        if mask_samples:
             aux["live_frac_coarse"] = live_c.astype(jnp.float32) / cap_c
             aux["live_frac_fine"] = jnp.zeros_like(aux["live_frac_coarse"])
+        elif accel:  # "off": nothing is ever culled
+            aux["live_frac_coarse"] = jnp.float32(1.0)
+            aux["live_frac_fine"] = jnp.float32(0.0)
         return rgb, aux
 
     # --- hierarchical resampling (lib.rs:406-421) ---
@@ -320,7 +334,7 @@ def render_rays(
 
     # --- fine pass (lib.rs:423-459) ---
     pts_f = origin[..., None, :] + dirs[..., None, :] * t_f[..., :, None]
-    if accel:
+    if mask_samples:
         from nerf_rs_tpu.accel import query_occupancy
         from nerf_rs_tpu.ops.volume import exclusive_transmittance
 
@@ -348,6 +362,8 @@ def render_rays(
         )
     else:
         rgb_f, sigma_f = mlp(params_fine, pts_f, dirs[..., None, :])
+        if return_live:  # accel "off": every sample is live by definition
+            live_f = jnp.int32(n_rays * (cfg.n_coarse + cfg.n_fine))
     w_f = compute_weights(sigma_f, t_f, far_w, t_threshold=cfg.t_threshold)
     rgb = composite(rgb_f, w_f, white_background=cfg.white_background)
 
@@ -364,12 +380,15 @@ def render_rays(
         "t_fine": t_f,
         "depth": jnp.sum(w_f * t_f, axis=-1),
     }
-    if accel:
+    if mask_samples:
         # Compaction health: fraction of capacity used, per pass. > 1.0
         # means real samples overflowed to sigma = 0 and their gradients
         # were dropped — raise accel_*_capacity (training logs warn).
         aux["live_frac_coarse"] = live_c.astype(jnp.float32) / cap_c
         aux["live_frac_fine"] = live_f.astype(jnp.float32) / cap_f
+    elif accel:  # "off": nothing is ever culled
+        aux["live_frac_coarse"] = jnp.float32(1.0)
+        aux["live_frac_fine"] = jnp.float32(1.0)
     return rgb, aux
 
 

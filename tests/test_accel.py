@@ -475,3 +475,50 @@ def test_cull_rays_full_grid_matches_unpacked(lego_params, golden):
                           24, 24, key, cfg.replace(accel_cull_rays=True),
                           grid=full)
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(unpacked))
+
+
+def test_accel_off_hit_rays_are_bitwise_exact(lego_params, golden):
+    """accel_compact='off' + ray packing: rendered (hit) rays are bitwise
+    equal to the EXACT dense render — no occupancy mask touches them —
+    and only packed-away background rays composite to plain white."""
+    from nerf_rs_tpu.accel import ray_aabb_range
+    from nerf_rs_tpu.render import render_image
+
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(21)
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64)
+    exact = np.asarray(render_image(lego_params["coarse"],
+                                    lego_params["fine"], cam, 24, 24, key,
+                                    cfg))
+    off = np.asarray(render_image(
+        lego_params["coarse"], lego_params["fine"], cam, 24, 24, key,
+        cfg.replace(accel_compact="off", accel_cull_rays=True), grid=grid))
+    from nerf_rs_tpu.ops.rays import camera_rays
+
+    _, dirs = camera_rays(cam, 24, 24)
+    t0, t1 = ray_aabb_range(grid, jnp.asarray(cam.position),
+                            dirs.reshape(-1, 3), cam.near, cam.far)
+    hit = np.asarray(t1 > t0).reshape(24, 24)
+    np.testing.assert_array_equal(off[hit], exact[hit])
+    np.testing.assert_array_equal(off[~hit], 1.0)
+
+
+def test_accel_off_aabb_packed_matches_unpacked(lego_params, golden):
+    """off + AABB placement: misses collapse to zero-delta ranges that
+    composite to exact white even unpacked, so the packed render is
+    bitwise equal to the unpacked one."""
+    from nerf_rs_tpu.render import render_image
+
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(23)
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64,
+                       accel_compact="off", accel_sample_aabb=True,
+                       accel_aabb_probes=32)
+    unpacked = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                            24, 24, key, cfg, grid=grid)
+    packed = render_image(lego_params["coarse"], lego_params["fine"], cam,
+                          24, 24, key, cfg.replace(accel_cull_rays=True),
+                          grid=grid)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(unpacked))

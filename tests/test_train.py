@@ -165,12 +165,23 @@ def test_accel_overflow_indicator():
 
     # Capacities round up to 1024 rows, so overflow needs live > 1024:
     # 256 rays x 8 coarse = 2048 live rows vs a 1024-row capacity.
+    # Overflow only exists in the compaction modes — mask-only (the
+    # round-3 default) evaluates densely and cannot drop samples.
     tight = TINY.replace(render=TINY.render.replace(
-        accel_coarse_capacity=0.01, accel_fine_capacity=0.01))
+        accel_coarse_capacity=0.01, accel_fine_capacity=0.01,
+        accel_compact="scatter"))
     _, m = nerf_loss(state.params, _batch(256), jax.random.key(1), tight,
                      grid=grid)
     assert float(m["accel_overflow"]) == 1.0
     assert float(m["live_frac_coarse"]) > 1.0
+
+    # ...and the same tight fractions under mask-only stay overflow-free.
+    tight_mask = TINY.replace(render=TINY.render.replace(
+        accel_coarse_capacity=0.01, accel_fine_capacity=0.01))
+    _, m = nerf_loss(state.params, _batch(256), jax.random.key(1),
+                     tight_mask, grid=grid)
+    assert float(m["accel_overflow"]) == 0.0
+    assert float(m["live_frac_coarse"]) <= 1.0
 
 
 def test_capacities_from_occupancy():

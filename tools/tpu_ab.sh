@@ -77,6 +77,16 @@ run accel_mask_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_CULL_R
 run accel_cull_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
 run accel_cull_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
 run accel_cull_probe    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
+# accel_compact=off: NO per-sample culling — the grid steers ray packing
+# + AABB placement only. Motivation: the occupancy mask alone measured 40%
+# of a dense frame (accel_mask_800: 182K vs base 298K) while zeroing sigma
+# only where it is already ~0; with it off, rendered rays are bitwise
+# exact and only packed-away background rays deviate (PSNR-guarded).
+run accel_off_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off
+run accel_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
+run s32x64_off_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
+run s32x64_off_probe    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
+run s64x0_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
 # Winner combos
 run accel_interleave    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_FUSED_INTERLEAVE=1
 run accel_psampling     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_SAMPLING=pallas
