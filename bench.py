@@ -183,6 +183,10 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
             accel_tag += "+aabb"
             if os.environ.get("NERF_BENCH_AABB_PROBES"):
                 accel_tag += f"+probes{os.environ['NERF_BENCH_AABB_PROBES']}"
+        elif os.environ.get("NERF_BENCH_AABB_PROBES"):
+            # Probe-based ray culling WITHOUT placement change
+            # (accel_compact=off): placement-exact, packing-only.
+            accel_tag += f"+probecull{os.environ['NERF_BENCH_AABB_PROBES']}"
         # accel semantics changed 2026-08-18: the default is now mask-only
         # culling + ray-level packing (no per-sample compaction). Tag any
         # non-default combination so metric series don't alias ("off" =

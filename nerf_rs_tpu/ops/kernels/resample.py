@@ -100,18 +100,21 @@ def _bitonic_sort_lanes(x, lanes):
     return x
 
 
-def _kernel(nc, nf, t_threshold, pdf_eps, cdf_eps,
+def _kernel(nc, nf, t_threshold, pdf_eps, cdf_eps, per_ray,
             packed_ref, far_ref, out_ref):
     lanes = 2 * nc + nf
     x = packed_ref[:]                                 # (R, lanes)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    far = far_ref[:, :1]                              # (R, 1) — per-ray far
-    #     (the AABB-clamped modes give each ray its own effective far; the
-    #     uniform case broadcasts one value in). The block is (R, 128) with
-    #     the value replicated across lanes: a (tile, 1) VMEM block spec
-    #     crashes the Mosaic compiler (measured 2026-08-19: remote-compile
-    #     HTTP 500, tpu_compile_helper exit 1), while in-kernel (R, 1)
-    #     slices + lane broadcasts are fine (csum/total below does one).
+    if per_ray:
+        # Per-ray far (the AABB-clamped modes cap each ray's integration
+        # range individually): a lane-replicated (R, 128) VMEM block,
+        # loaded whole and value-sliced to (R, 1) — the lane broadcast
+        # pattern csum/total already uses. A (tile, 1) block spec crashes
+        # the Mosaic remote compile (2026-08-19: HTTP 500, compile-helper
+        # exit 1), so the input is padded to the 128-lane minimum.
+        far = far_ref[:][:, :1]                       # (R, 1)
+    else:
+        far = far_ref[0, 0]                           # SMEM scalar
 
     t = x                                             # lanes 0:nc valid
     sigma = _roll(x, -nc, lanes)         # sigma[j] at lane j
@@ -169,24 +172,26 @@ def _kernel(nc, nf, t_threshold, pdf_eps, cdf_eps,
 
 
 @functools.partial(jax.jit, static_argnames=("nc", "nf", "t_threshold",
-                                             "pdf_eps", "cdf_eps", "interpret"))
+                                             "pdf_eps", "cdf_eps", "per_ray",
+                                             "interpret"))
 def _resample_call(packed, far, nc, nf, t_threshold, pdf_eps, cdf_eps,
-                   interpret):
+                   per_ray, interpret):
     lanes = 2 * nc + nf
     n = packed.shape[0]
     tile = min(512, n)
     grid = n // tile
     data_spec = pl.BlockSpec((tile, lanes), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, nc, nf, t_threshold, pdf_eps, cdf_eps)
+    far_spec = (pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) if per_ray else
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM))
+    kernel = functools.partial(_kernel, nc, nf, t_threshold, pdf_eps,
+                               cdf_eps, per_ray)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            data_spec,
-            pl.BlockSpec((tile, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[data_spec, far_spec],
         out_specs=data_spec,
         out_shape=jax.ShapeDtypeStruct((n, lanes), jnp.float32),
         interpret=interpret,
@@ -225,20 +230,24 @@ def fused_resample(
         [t_c.astype(jnp.float32), sigma_c.astype(jnp.float32),
          u.astype(jnp.float32)], axis=-1,
     )
-    # Lane-replicated (n, 128) far block — see _kernel for why not (n, 1).
-    far_col = jnp.broadcast_to(
-        jnp.asarray(far, jnp.float32).reshape(-1, 1)
-        if jnp.ndim(far) > 0 else jnp.asarray(far, jnp.float32),
-        (n, 128),
-    )
+    # A 0-d far is the SMEM-scalar fast path (the proven layout); per-ray
+    # far rides a lane-replicated (n, 128) VMEM block — see _kernel.
+    per_ray = jnp.ndim(far) > 0 and np.prod(np.shape(far)) > 1
+    if per_ray:
+        far_in = jnp.broadcast_to(
+            jnp.asarray(far, jnp.float32).reshape(-1, 1), (n, 128))
+    else:
+        far_in = jnp.asarray(far, jnp.float32).reshape(1, 1)
     if pad:
         filler = jnp.tile(packed[:1], (pad, 1))
         packed = jnp.concatenate([packed, filler], axis=0)
-        far_col = jnp.concatenate(
-            [far_col, jnp.tile(far_col[:1], (pad, 1))], axis=0)
+        if per_ray:
+            far_in = jnp.concatenate(
+                [far_in, jnp.tile(far_in[:1], (pad, 1))], axis=0)
     interpret = jax.default_backend() != "tpu"
     out = _resample_call(
-        packed, far_col, nc, nf,
-        float(t_threshold), float(pdf_eps), float(cdf_eps), interpret,
+        packed, far_in, nc, nf,
+        float(t_threshold), float(pdf_eps), float(cdf_eps), bool(per_ray),
+        interpret,
     )
     return out[:n, : nc + nf]

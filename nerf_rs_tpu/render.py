@@ -506,10 +506,21 @@ def _ray_cull_order(grid, origin, dirs_flat, near, far, cfg: RenderConfig):
     non-degenerate — the same range the sampler would use (probe-refined
     when the config samples that way, else the occupied-AABB chord), so
     culled rays are exactly those the accel render composites to pure
-    background anyway (every sample lands outside occupancy -> sigma = 0)."""
+    background anyway (every sample lands outside occupancy -> sigma = 0).
+
+    In accel_compact == "off" mode, probe culling (accel_aabb_probes > 0)
+    applies even WITHOUT aabb sample placement: a ray with no occupied
+    probe passes only through (conservative-grid) empty space, so its
+    exact render is background to within the PSNR guard. This matters
+    because the occupied-cell bounding BOX is a weak cull on real scenes —
+    one stray occupied cell inflates it to the whole frame (measured: box
+    keeps 93% of the bench camera's rays, probes keep 67%,
+    tools/grid_threshold_study.py)."""
     from nerf_rs_tpu.accel import ray_aabb_range, ray_occupied_range
 
-    if cfg.accel_sample_aabb and cfg.accel_aabb_probes > 0:
+    use_probes = cfg.accel_aabb_probes > 0 and (
+        cfg.accel_sample_aabb or cfg.accel_compact == "off")
+    if use_probes:
         t0, t1 = ray_occupied_range(grid, origin, dirs_flat, near, far,
                                     probes=cfg.accel_aabb_probes)
     else:

@@ -522,3 +522,41 @@ def test_accel_off_aabb_packed_matches_unpacked(lego_params, golden):
                           24, 24, key, cfg.replace(accel_cull_rays=True),
                           grid=grid)
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(unpacked))
+
+
+def test_accel_off_probe_cull_without_placement_change(lego_params, golden):
+    """off + probes WITHOUT accel_sample_aabb: sample placement stays the
+    exact [near, far] stratification (rendered rays bitwise equal to the
+    exact render) while the cull uses the probe test — more rays packed
+    away than the box test, still compositing to background."""
+    from nerf_rs_tpu.accel import ray_occupied_range
+    from nerf_rs_tpu.ops.rays import camera_rays
+    from nerf_rs_tpu.render import render_image
+
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(29)
+    cfg = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64,
+                       accel_compact="off", accel_cull_rays=True,
+                       accel_aabb_probes=32)
+    assert not cfg.accel_sample_aabb
+    exact = np.asarray(render_image(lego_params["coarse"],
+                                    lego_params["fine"], cam, 24, 24, key,
+                                    RenderConfig(n_coarse=16, n_fine=32,
+                                                 ray_chunk=64)))
+    off = np.asarray(render_image(lego_params["coarse"],
+                                  lego_params["fine"], cam, 24, 24, key,
+                                  cfg, grid=grid))
+    _, dirs = camera_rays(cam, 24, 24)
+    p0, p1 = ray_occupied_range(grid, jnp.asarray(cam.position),
+                                dirs.reshape(-1, 3), cam.near, cam.far,
+                                probes=32)
+    hit = np.asarray(p1 > p0).reshape(24, 24)
+    np.testing.assert_array_equal(off[hit], exact[hit])
+    np.testing.assert_array_equal(off[~hit], 1.0)
+    # the probe cull removes strictly more rays than the box test here
+    from nerf_rs_tpu.accel import ray_aabb_range
+
+    b0, b1 = ray_aabb_range(grid, jnp.asarray(cam.position),
+                            dirs.reshape(-1, 3), cam.near, cam.far)
+    assert int(np.asarray(p1 > p0).sum()) <= int(np.asarray(b1 > b0).sum())

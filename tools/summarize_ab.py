@@ -33,6 +33,7 @@ BASELINES = {
     "accel_cull_probe": "accel_cull_800",
     "accel_off_800": "base_800",
     "accel_off_aabb": "accel_off_800",
+    "accel_off_probe": "base_800",
     "s32x64_off_aabb": "s32x64_accel_aabb",
     "s32x64_off_probe": "s32x64_off_aabb",
     "s64x0_off_aabb": "s64x0_accel_aabb",

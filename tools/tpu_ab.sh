@@ -84,6 +84,9 @@ run accel_cull_probe    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_
 # exact and only packed-away background rays deviate (PSNR-guarded).
 run accel_off_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off
 run accel_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
+# Probe-culling WITHOUT placement change (off mode): placement-exact
+# 64+128 with ~33% of rays packed away (the headline candidate):
+run accel_off_probe     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128
 run s32x64_off_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
 run s32x64_off_probe    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
 run s64x0_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
