@@ -187,6 +187,8 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
             # Probe-based ray culling WITHOUT placement change
             # (accel_compact=off): placement-exact, packing-only.
             accel_tag += f"+probecull{os.environ['NERF_BENCH_AABB_PROBES']}"
+        if os.environ.get("NERF_BENCH_RANGE_STRIDE", "1") != "1":
+            accel_tag += f"+stride{os.environ['NERF_BENCH_RANGE_STRIDE']}"
         # accel semantics changed 2026-08-18: the default is now mask-only
         # culling + ray-level packing (no per-sample compaction). Tag any
         # non-default combination so metric series don't alias ("off" =
@@ -381,6 +383,8 @@ def main() -> None:
         accel_compact=os.environ.get("NERF_ACCEL_COMPACT", "none"),
         accel_cull_rays=os.environ.get("NERF_BENCH_CULL_RAYS", "1")
         not in ("0", "false"),
+        accel_range_stride=int(os.environ.get("NERF_BENCH_RANGE_STRIDE",
+                                              "1")),
     )
     model_env = os.environ.get("NERF_BENCH_MODEL", "mlp")
     if model_env == "hashgrid":

@@ -90,6 +90,16 @@ class RenderConfig:
     #                                  (accel.ray_occupied_range) — tighter
     #                                  than the box chord for grazing rays;
     #                                  this many grid lookups per ray.
+    accel_range_stride: int = 1      # >1 (with accel_aabb_probes): probe the
+    #                                  occupied ranges on a stride-subsampled
+    #                                  ray grid and conservatively expand
+    #                                  (3x3 union-pool) back to full res —
+    #                                  cuts the probe gathers by stride^2.
+    #                                  XLA TPU gathers measured ~10 ns/elem,
+    #                                  so exact 800^2x128 probing costs more
+    #                                  than the culled rays save
+    #                                  (accel.strided_ray_ranges). Applies
+    #                                  to the image-level render paths.
     accel_compact: str = "none"      # how culled sample rows skip the MLP:
     #                                  "off"     — no per-sample culling AT
     #                                              ALL: the grid steers ray

@@ -1,5 +1,7 @@
-"""Fused Pallas kernel: transmittance weights -> interior-weight CDF ->
-inverse-CDF importance sampling -> merge + bitonic sort, in ONE launch.
+"""Fused Pallas kernels: transmittance weights -> interior-weight CDF ->
+inverse-CDF importance sampling, then merge + bitonic sort (two launches
+— a Mosaic v5e compiler crash forbids fusing the sort behind the unrolled
+lookup loop, see _kernel_extra).
 
 The XLA formulation (ops/volume.compute_weights + ops/sampling.importance_
 samples/merge_samples) round-trips ~6 intermediate (rays, samples) arrays
@@ -100,8 +102,17 @@ def _bitonic_sort_lanes(x, lanes):
     return x
 
 
-def _kernel(nc, nf, t_threshold, pdf_eps, cdf_eps, per_ray,
-            packed_ref, far_ref, out_ref):
+def _kernel_extra(nc, nf, t_threshold, pdf_eps, cdf_eps, per_ray,
+                  packed_ref, far_ref, out_ref):
+    """First launch: weights -> CDF -> inverse-CDF lookup. Writes t_extra
+    (valid on lanes 0:nf). The merge + sort live in a SECOND launch
+    (_kernel_merge): Mosaic's v5e compiler CRASHES (remote-compile HTTP
+    500, compile-helper subprocess exit 1 — bisected 2026-08-19,
+    _repro_resample.py) on any program that keeps the packed input alive
+    across the nc-2-step unrolled lookup loop and then SELECTS between it
+    and the loop's result; each half compiles and runs fine on its own.
+    The split costs one extra (R, lanes) HBM round-trip — micro-seconds
+    per chunk next to the MLP."""
     lanes = 2 * nc + nf
     x = packed_ref[:]                                 # (R, lanes)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -110,8 +121,8 @@ def _kernel(nc, nf, t_threshold, pdf_eps, cdf_eps, per_ray,
         # range individually): a lane-replicated (R, 128) VMEM block,
         # loaded whole and value-sliced to (R, 1) — the lane broadcast
         # pattern csum/total already uses. A (tile, 1) block spec crashes
-        # the Mosaic remote compile (2026-08-19: HTTP 500, compile-helper
-        # exit 1), so the input is padded to the 128-lane minimum.
+        # the Mosaic remote compile too, so the input is padded to the
+        # 128-lane minimum.
         far = far_ref[:][:, :1]                       # (R, 1)
     else:
         far = far_ref[0, 0]                           # SMEM scalar
@@ -160,13 +171,20 @@ def _kernel(nc, nf, t_threshold, pdf_eps, cdf_eps, per_ray,
         acc_bh = acc_bh + jnp.where(m, bins[:, j + 1:j + 2], 0.0)
 
     frac = (u - acc_lo) / jnp.maximum(acc_hi - acc_lo, cdf_eps)
-    t_extra = acc_bl + (acc_bh - acc_bl) * frac       # valid on lanes 0:nf
+    out_ref[:] = acc_bl + (acc_bh - acc_bl) * frac    # valid on lanes 0:nf
 
-    # --- merge + sort: t_c on lanes 0:nc, t_extra repositioned to lanes
-    # 2*nc:2*nc+nf (its natural u-lane position rolled right), +inf
-    # padding lanes nc:2*nc sort to the tail of the full-width network.
+
+def _kernel_merge(nc, nf, packed_ref, extra_ref, out_ref):
+    """Second launch: merge + bitonic sort. t_c on lanes 0:nc, t_extra
+    repositioned to lanes 2*nc:2*nc+nf (its natural u-lane position
+    rolled right), +inf padding lanes nc:2*nc sort to the tail of the
+    full-width network. Split from _kernel_extra — see its docstring."""
+    lanes = 2 * nc + nf
+    x = packed_ref[:]
+    t_extra = extra_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     extra_hi = _roll(t_extra, nc * 2, lanes)  # u-lane j -> lane 2*nc+j
-    merged = jnp.where(lane < nc, t,
+    merged = jnp.where(lane < nc, x,
                        jnp.where(lane >= nc * 2, extra_hi, _BIG))
     out_ref[:] = _bitonic_sort_lanes(merged, lanes)
 
@@ -186,16 +204,23 @@ def _resample_call(packed, far, nc, nf, t_threshold, pdf_eps, cdf_eps,
                              memory_space=pltpu.VMEM) if per_ray else
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM))
-    kernel = functools.partial(_kernel, nc, nf, t_threshold, pdf_eps,
-                               cdf_eps, per_ray)
-    return pl.pallas_call(
-        kernel,
+    t_extra = pl.pallas_call(
+        functools.partial(_kernel_extra, nc, nf, t_threshold, pdf_eps,
+                          cdf_eps, per_ray),
         grid=(grid,),
         in_specs=[data_spec, far_spec],
         out_specs=data_spec,
         out_shape=jax.ShapeDtypeStruct((n, lanes), jnp.float32),
         interpret=interpret,
     )(packed, far)
+    return pl.pallas_call(
+        functools.partial(_kernel_merge, nc, nf),
+        grid=(grid,),
+        in_specs=[data_spec, data_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((n, lanes), jnp.float32),
+        interpret=interpret,
+    )(packed, t_extra)
 
 
 def fused_resample(

@@ -47,11 +47,13 @@ def effective_chunk(n_rays: int, n_devices: int, cfg: RenderConfig) -> int:
 def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
                          far, key, n_per_dev: int, cfg: RenderConfig, mesh,
                          grid=None, chunk: Optional[int] = None,
-                         ray_ids_flat: Optional[jnp.ndarray] = None):
+                         ray_ids_flat: Optional[jnp.ndarray] = None,
+                         ray_ranges_flat: Optional[jnp.ndarray] = None):
     """``ray_ids_flat`` ((n_pad,) int32, ray-sharded like dirs) supplies
     explicit per-ray RNG ids — the ray-culled sharded render passes each
     packed ray's original image index so packing and sharding stay
-    RNG-invariant (render._render_flat)."""
+    RNG-invariant (render._render_flat). ``ray_ranges_flat`` ((n_pad, 2),
+    requires ids) carries precomputed per-ray sample ranges the same way."""
     if ray_ids_flat is None:
         def per_device(dirs_shard):
             dev = jax.lax.axis_index(RAY_AXIS)
@@ -61,7 +63,7 @@ def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
                                 ray_id_base=base, grid=grid, chunk=chunk)
 
         in_specs, args = (P(RAY_AXIS),), (dirs_flat,)
-    else:
+    elif ray_ranges_flat is None:
         def per_device(dirs_shard, ids_shard):
             return _render_flat(params_coarse, params_fine, origin,
                                 dirs_shard, near, far, key, n_per_dev, cfg,
@@ -69,6 +71,16 @@ def _render_flat_sharded(params_coarse, params_fine, origin, dirs_flat, near,
                                 ray_ids_flat=ids_shard)
 
         in_specs, args = (P(RAY_AXIS), P(RAY_AXIS)), (dirs_flat, ray_ids_flat)
+    else:
+        def per_device(dirs_shard, ids_shard, ranges_shard):
+            return _render_flat(params_coarse, params_fine, origin,
+                                dirs_shard, near, far, key, n_per_dev, cfg,
+                                grid=grid, chunk=chunk,
+                                ray_ids_flat=ids_shard,
+                                ray_ranges_flat=ranges_shard)
+
+        in_specs = (P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS))
+        args = (dirs_flat, ray_ids_flat, ray_ranges_flat)
 
     fn = shard_map(
         per_device, mesh=mesh,
@@ -171,7 +183,7 @@ def _render_image_culled_sharded(params_c, params_f, camera, height, width,
     parallelism. NOT used by the multihost flat path (render_flat_sharded
     keeps its static ray-sharded layout for .addressable_shards readers).
     """
-    from nerf_rs_tpu.render import _ray_cull_order
+    from nerf_rs_tpu.render import _image_ray_ranges
 
     n_dev = mesh.devices.size
     _, dirs = camera_rays(camera, height, width)
@@ -179,7 +191,8 @@ def _render_image_culled_sharded(params_c, params_f, camera, height, width,
     dirs_flat = dirs.reshape(n, 3)
     origin = jnp.asarray(camera.position)
     near, far = jnp.asarray(camera.near), jnp.asarray(camera.far)
-    order, n_hit = _ray_cull_order(grid, origin, dirs_flat, near, far, cfg)
+    (t0, t1), order, n_hit = _image_ray_ranges(
+        grid, origin, dirs.reshape(height, width, 3), near, far, cfg)
     n_hit = max(int(n_hit), 1)                      # the one host sync point
     chunk = effective_chunk(n, n_dev, cfg)
     dense_per_dev = _round_up(-(-n // n_dev), chunk)
@@ -189,10 +202,14 @@ def _render_image_culled_sharded(params_c, params_f, camera, height, width,
     # values (same ray id -> same RNG stream). Modular take handles
     # n_render > 2n (many devices x chunk on small images).
     order_r = jnp.take(order, jnp.arange(n_render, dtype=jnp.int32) % n)
+    ranges_flat = None
+    if cfg.accel_sample_aabb:
+        ranges_flat = jnp.take(
+            jnp.concatenate([t0, t1], axis=-1), order_r, axis=0)
     rgb = _render_flat_sharded(
         params_c, params_f, origin, jnp.take(dirs_flat, order_r, axis=0),
         near, far, key, n_per_dev, cfg, mesh, grid=grid, chunk=chunk,
-        ray_ids_flat=order_r,
+        ray_ids_flat=order_r, ray_ranges_flat=ranges_flat,
     )
     bg = 1.0 if cfg.white_background else 0.0
     img = jnp.full((n, 3), bg, jnp.float32).at[order_r].set(rgb)

@@ -158,6 +158,7 @@ def render_rays(
     grid=None,
     return_aux: bool = False,
     return_live: bool = False,
+    ray_ranges: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """Render a batch of rays.
 
@@ -206,10 +207,15 @@ def render_rays(
         # same sample count, ~2x the sample density where matter actually
         # is (accel.ray_aabb_range). Placement-changing, so accel-gated.
         # accel_aabb_probes > 0 tightens further to the ray's own occupied
-        # run (grid lookups only).
+        # run (grid lookups only). ``ray_ranges`` supplies the (t_lo, t_hi)
+        # precomputed at the image level instead (render_image's culled
+        # path — also how strided probe ranges reach the sampler,
+        # accel.strided_ray_ranges).
         from nerf_rs_tpu.accel import ray_aabb_range, ray_occupied_range
 
-        if cfg.accel_aabb_probes > 0:
+        if ray_ranges is not None:
+            t_lo, t_hi = ray_ranges
+        elif cfg.accel_aabb_probes > 0:
             t_lo, t_hi = ray_occupied_range(grid, origin, dirs, near, far,
                                             probes=cfg.accel_aabb_probes)
         else:
@@ -399,7 +405,8 @@ def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
                  n_rays_padded: int, cfg: RenderConfig, ray_id_base: jnp.ndarray = 0,
                  grid=None, return_live: bool = False,
                  chunk: Optional[int] = None,
-                 ray_ids_flat: Optional[jnp.ndarray] = None):
+                 ray_ids_flat: Optional[jnp.ndarray] = None,
+                 ray_ranges_flat: Optional[jnp.ndarray] = None):
     """Chunked render of (N_padded, 3) unit dirs via lax.map. Per-ray RNG
     streams are derived from the GLOBAL ray index (ray_id_base + position),
     so the result is independent of the chunk size and of how rays were
@@ -415,15 +422,19 @@ def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
     ``ray_ids_flat`` ((N_padded,) int32) supplies EXPLICIT per-ray RNG ids
     instead of ray_id_base + position — the ray-culled render passes each
     packed ray's original image index, keeping the packed image bitwise
-    equal (per surviving ray) to the unpacked one."""
+    equal (per surviving ray) to the unpacked one. ``ray_ranges_flat``
+    ((N_padded, 2) f32, requires ray_ids_flat) supplies precomputed
+    per-ray (t_lo, t_hi) sample ranges (image-level / strided probe
+    ranges, accel.strided_ray_ranges)."""
     chunk = chunk or min(cfg.ray_chunk, n_rays_padded)
     n_chunks = n_rays_padded // chunk
     dirs_chunks = dirs_flat.reshape(n_chunks, chunk, 3)
 
-    def render_chunk(d, ids):
+    def render_chunk(d, ids, ranges=None):
         return render_rays(
             params_coarse, params_fine, origin, d, near, far,
             key, cfg, ray_ids=ids, grid=grid, return_live=return_live,
+            ray_ranges=ranges,
         )
 
     if ray_ids_flat is None:
@@ -433,10 +444,20 @@ def _render_flat(params_coarse, params_fine, origin, dirs_flat, near, far, key,
             return render_chunk(d, ids)
 
         out = jax.lax.map(body, (jnp.arange(n_chunks), dirs_chunks))
-    else:
+    elif ray_ranges_flat is None:
         out = jax.lax.map(
             lambda args: render_chunk(*args),
             (dirs_chunks, ray_ids_flat.reshape(n_chunks, chunk)),
+        )
+    else:
+        def body(args):
+            d, ids, rr = args
+            return render_chunk(d, ids, (rr[:, 0:1], rr[:, 1:2]))
+
+        out = jax.lax.map(
+            body,
+            (dirs_chunks, ray_ids_flat.reshape(n_chunks, chunk),
+             ray_ranges_flat.reshape(n_chunks, chunk, 2)),
         )
     if return_live:
         out, (live_c, live_f) = out
@@ -500,13 +521,15 @@ def render_image_aux(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _ray_cull_order(grid, origin, dirs_flat, near, far, cfg: RenderConfig):
-    """Stable hit-rays-first permutation of the flat ray index, plus the
-    hit count. A ray "hits" when its occupied sample range is
-    non-degenerate — the same range the sampler would use (probe-refined
-    when the config samples that way, else the occupied-AABB chord), so
-    culled rays are exactly those the accel render composites to pure
-    background anyway (every sample lands outside occupancy -> sigma = 0).
+def _image_ray_ranges(grid, origin, dirs_img, near, far, cfg: RenderConfig):
+    """Per-ray occupied ranges for a full (H, W, 3) frame, plus the
+    hit-rays-first permutation and hit count for ray packing.
+
+    A ray "hits" when its occupied sample range is non-degenerate — the
+    same range the sampler would use (probe-refined when the config
+    samples that way, else the occupied-AABB chord), so culled rays are
+    exactly those the accel render composites to pure background anyway
+    (every sample lands outside occupancy -> sigma = 0).
 
     In accel_compact == "off" mode, probe culling (accel_aabb_probes > 0)
     applies even WITHOUT aabb sample placement: a ray with no occupied
@@ -515,20 +538,27 @@ def _ray_cull_order(grid, origin, dirs_flat, near, far, cfg: RenderConfig):
     because the occupied-cell bounding BOX is a weak cull on real scenes —
     one stray occupied cell inflates it to the whole frame (measured: box
     keeps 93% of the bench camera's rays, probes keep 67%,
-    tools/grid_threshold_study.py)."""
-    from nerf_rs_tpu.accel import ray_aabb_range, ray_occupied_range
+    tools/grid_threshold_study.py).
+
+    cfg.accel_range_stride > 1 probes a subsampled ray grid and expands
+    conservatively (accel.strided_ray_ranges) — XLA TPU gathers are slow
+    enough (~10 ns/elem) that full-res probing costs more than the culled
+    rays save."""
+    from nerf_rs_tpu.accel import ray_aabb_range, strided_ray_ranges
 
     use_probes = cfg.accel_aabb_probes > 0 and (
         cfg.accel_sample_aabb or cfg.accel_compact == "off")
     if use_probes:
-        t0, t1 = ray_occupied_range(grid, origin, dirs_flat, near, far,
+        t0, t1 = strided_ray_ranges(grid, origin, dirs_img, near, far,
+                                    stride=cfg.accel_range_stride,
                                     probes=cfg.accel_aabb_probes)
     else:
-        t0, t1 = ray_aabb_range(grid, origin, dirs_flat, near, far)
+        t0, t1 = ray_aabb_range(grid, origin, dirs_img.reshape(-1, 3),
+                                near, far)
     hit = (t1 > t0).reshape(-1)
     # stable ascending sort of (not hit): hits first, image order preserved
     order = jnp.argsort(~hit).astype(jnp.int32)
-    return order, jnp.sum(hit.astype(jnp.int32))
+    return (t0, t1), order, jnp.sum(hit.astype(jnp.int32))
 
 
 def _render_image_culled(params_c, params_f, camera, height, width, key, cfg,
@@ -553,7 +583,8 @@ def _render_image_culled(params_c, params_f, camera, height, width, key, cfg,
     dirs_flat = dirs.reshape(n, 3)
     origin = jnp.asarray(camera.position)
     near, far = jnp.asarray(camera.near), jnp.asarray(camera.far)
-    order, n_hit = _ray_cull_order(grid, origin, dirs_flat, near, far, cfg)
+    (t0, t1), order, n_hit = _image_ray_ranges(
+        grid, origin, dirs.reshape(height, width, 3), near, far, cfg)
     n_hit = max(int(n_hit), 1)                     # the one host sync point
     n_chunks = _round_up(-(-n_hit // chunk), 4)
     n_render = min(n_chunks * chunk, _round_up(n, chunk))
@@ -564,10 +595,16 @@ def _render_image_culled(params_c, params_f, camera, height, width, key, cfg,
         order_r = jnp.concatenate([order, order[: n_render - n]])
     else:
         order_r = order[:n_render]
+    # Pass the image-level ranges into the sampler (computed once, not per
+    # chunk) whenever the config places samples by them.
+    ranges_flat = None
+    if cfg.accel_sample_aabb:
+        ranges_flat = jnp.take(
+            jnp.concatenate([t0, t1], axis=-1), order_r, axis=0)
     rgb = _render_flat(
         params_c, params_f, origin, jnp.take(dirs_flat, order_r, axis=0),
         near, far, key, n_render, cfg, grid=grid, chunk=chunk,
-        ray_ids_flat=order_r,
+        ray_ids_flat=order_r, ray_ranges_flat=ranges_flat,
     )
     bg = 1.0 if cfg.white_background else 0.0
     img = jnp.full((n, 3), bg, jnp.float32).at[order_r].set(rgb)

@@ -560,3 +560,56 @@ def test_accel_off_probe_cull_without_placement_change(lego_params, golden):
     b0, b1 = ray_aabb_range(grid, jnp.asarray(cam.position),
                             dirs.reshape(-1, 3), cam.near, cam.far)
     assert int(np.asarray(p1 > p0).sum()) <= int(np.asarray(b1 > b0).sum())
+
+
+def test_strided_ray_ranges_conservative(lego_params, golden):
+    """Strided probe ranges (stride-subsampled + 3x3 union-pool) must
+    cover the exact per-ray ranges on smooth geometry: every exactly-hit
+    ray stays hit, and the strided interval contains the exact one (to a
+    probe-interval tolerance)."""
+    from nerf_rs_tpu.accel import ray_occupied_range, strided_ray_ranges
+    from nerf_rs_tpu.ops.rays import camera_rays
+
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    H = W = 48
+    _, dirs = camera_rays(cam, H, W)
+    o = jnp.asarray(cam.position)
+    e0, e1 = ray_occupied_range(grid, o, dirs.reshape(-1, 3),
+                                cam.near, cam.far, probes=64)
+    s0, s1 = strided_ray_ranges(grid, o, dirs.reshape(H, W, 3),
+                                cam.near, cam.far, stride=4, probes=64)
+    hit_e = np.asarray(e1 > e0).reshape(-1)
+    hit_s = np.asarray(s1 > s0).reshape(-1)
+    assert hit_s[hit_e].all(), "strided culling dropped an exactly-hit ray"
+    tol = float(cam.far - cam.near) / 16  # a few probe intervals of slack
+    assert (np.asarray(s0).reshape(-1)[hit_e]
+            <= np.asarray(e0).reshape(-1)[hit_e] + tol).all()
+    assert (np.asarray(s1).reshape(-1)[hit_e]
+            >= np.asarray(e1).reshape(-1)[hit_e] - tol).all()
+    # stride=1 degenerates to the exact ranges bitwise
+    x0, x1 = strided_ray_ranges(grid, o, dirs.reshape(H, W, 3),
+                                cam.near, cam.far, stride=1, probes=64)
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(e0))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(e1))
+
+
+def test_strided_render_holds_psnr(lego_params, golden):
+    """The full strided pipeline (off + cull + probes + aabb placement,
+    stride 4) stays within the accel contract vs the exact render."""
+    from nerf_rs_tpu.render import render_image
+
+    grid = _lego_grid(lego_params)
+    cam = camera_from_golden(golden)
+    key = jax.random.key(31)
+    base = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64)
+    exact = np.asarray(render_image(lego_params["coarse"],
+                                    lego_params["fine"], cam, 32, 32, key,
+                                    base))
+    cfg = base.replace(accel_compact="off", accel_cull_rays=True,
+                       accel_aabb_probes=32, accel_range_stride=4)
+    img = np.asarray(render_image(lego_params["coarse"],
+                                  lego_params["fine"], cam, 32, 32, key,
+                                  cfg, grid=grid))
+    mse = float(np.mean((exact - img) ** 2))
+    assert -10.0 * np.log10(max(mse, 1e-12)) > 40.0

@@ -34,6 +34,10 @@ BASELINES = {
     "accel_off_800": "base_800",
     "accel_off_aabb": "accel_off_800",
     "accel_off_probe": "base_800",
+    "off_probe_s4": "base_800",
+    "off_probe_s8": "off_probe_s4",
+    "s32x64_off_probe_s4": "s32x64_800",
+    "s64x0_off_probe_s4": "s64x0_accel_aabb",
     "s32x64_off_aabb": "s32x64_accel_aabb",
     "s32x64_off_probe": "s32x64_off_aabb",
     "s64x0_off_aabb": "s64x0_accel_aabb",

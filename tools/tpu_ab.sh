@@ -87,6 +87,13 @@ run accel_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPAC
 # Probe-culling WITHOUT placement change (off mode): placement-exact
 # 64+128 with ~33% of rays packed away (the headline candidate):
 run accel_off_probe     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128
+# Strided probe ranges (accel.strided_ray_ranges): full-res 800^2x128
+# probing measured ~0.6 s/frame of XLA gathers — stride 4 cuts them 16x
+# with a conservative 3x3 union-pool. These are the headline candidates:
+run off_probe_s4        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4
+run off_probe_s8        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=8
+run s32x64_off_probe_s4 NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4
+run s64x0_off_probe_s4  NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4
 run s32x64_off_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
 run s32x64_off_probe    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
 run s64x0_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
