@@ -205,6 +205,8 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
         suffix += "+customweights"
     if os.environ.get("NERF_BENCH_MODEL", "mlp") != "mlp":
         suffix += f"+{os.environ.get('NERF_BENCH_MODEL')}"
+        if os.environ.get("NERF_HASH_GRAD", "sorted") != "sorted":
+            suffix += f"+g{os.environ['NERF_HASH_GRAD']}"
     if os.environ.get("NERF_BENCH_CHECKPOINT"):
         suffix += "+checkpoint"
     if mode == "train":
@@ -393,9 +395,19 @@ def main() -> None:
         # (rays/s is weight-value-independent) unless NERF_BENCH_CHECKPOINT
         # points at a trained one; train mode measures full steps. The
         # family always takes the XLA path (impl applies to the MLP family
-        # only) — keep the metric label honest.
+        # only) — keep the metric label honest. ray_chunk shrinks to 4096:
+        # the encode's gather intermediates are ~300 KB/ray (idx + feats +
+        # trilinear weights at L=16x8 corners x 192 samples) — 16384-ray
+        # chunks OOM the 16 GB chip (hashgrid_800 exit-1 records,
+        # 2026-08-19).
         impl = "xla"
-        cfg = cfg.replace(model="hashgrid", impl="xla")
+        cfg = cfg.replace(
+            model="hashgrid", impl="xla",
+            ray_chunk=min(cfg.ray_chunk, 4096),
+            # Table-gradient path A/B (NERF_HASH_GRAD=scatter for the XLA
+            # scatter-add baseline; default is the sorted segment-sum VJP).
+            hash=cfg.hash.replace(
+                grad_impl=os.environ.get("NERF_HASH_GRAD", "sorted")))
     if os.environ.get("NERF_BENCH_MODE", "render") == "train":
         return _bench_train(cfg, repeats)
     # bfloat16 keeps image-level parity (~40 dB PSNR vs the f32 oracle, same
@@ -431,6 +443,8 @@ def main() -> None:
                     "model.json sidecar")
                 return
             cfg = hashgrid_render_config(info, cfg)
+            # Same OOM guard as the random-init hashgrid branch below.
+            cfg = cfg.replace(ray_chunk=min(cfg.ray_chunk, 4096))
             params_c = params_f = loaded["shared"]
             # Keep the metric label honest even when NERF_BENCH_MODEL was
             # not set alongside the checkpoint: the family always runs the

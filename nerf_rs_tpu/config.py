@@ -32,6 +32,13 @@ class HashGridConfig:
     sh_degree: int = 4      # spherical-harmonics view encoding degree
     aabb: tuple = (-2.0, 2.0)  # scene bounds per axis — the same
     #                            convention as accel.build_occupancy_grid
+    grad_impl: str = "sorted"  # table-gradient path: "scatter" (XLA
+    #                            autodiff scatter-add — measured 467 rays/s
+    #                            on v5e: colliding-index scatters serialize)
+    #                            or "sorted" (custom VJP: sort-by-index +
+    #                            cumsum-difference segment sums + two
+    #                            UNIQUE-index scatters — models/hashgrid.py
+    #                            _table_gather)
 
     def replace(self, **kw) -> "HashGridConfig":
         return dataclasses.replace(self, **kw)

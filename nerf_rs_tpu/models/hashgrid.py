@@ -126,6 +126,69 @@ _CORNERS = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
                     axis=-1).reshape(8, 3)
 
 
+@jax.custom_vjp
+def _table_gather_sorted(flat_tables: jnp.ndarray,
+                         idx: jnp.ndarray) -> jnp.ndarray:
+    """jnp.take whose BACKWARD avoids XLA's colliding-index scatter-add.
+
+    The table gradient is a (batch*L*8, F)-row scatter-add into the
+    (L*T, F) table with heavy index collisions (every sample touches 8
+    corners per level; coarse levels have very few distinct cells). XLA's
+    TPU scatter serializes on collisions — measured 467 rays/s for a full
+    hashgrid train step (sweep `hashgrid_train`, 2026-08-19), ~150x slower
+    than the MLP family. Here the backward instead:
+
+      sort rows by table index (one lax.sort_key_val)
+      -> f32 cumulative sum over the sorted gradient rows
+      -> per-segment totals as cumsum differences at segment ends/starts
+      -> TWO unique-index scatters (one row per touched table entry each),
+         which vectorize fine — collisions were the problem, not scatter.
+
+    Precision: segment totals come from differences of a 25M-row running
+    sum; with ~1e-3-magnitude row gradients the absolute error is ~1e-3
+    relative to per-segment sums — noise far below the minibatch variance
+    SGD already tolerates (and the A/B quality run guards it end to end).
+    """
+    return jnp.take(flat_tables, idx, axis=0)
+
+
+def _table_gather_sorted_fwd(flat_tables, idx):
+    # flat_tables rides along as a residual only for its (static) shape
+    # and dtype — it is alive as a parameter anyway.
+    return jnp.take(flat_tables, idx, axis=0), (idx, flat_tables)
+
+
+def _table_gather_sorted_bwd(res, g):
+    idx, flat_tables = res
+    n_rows, dtype = flat_tables.shape[0], flat_tables.dtype
+    f = g.shape[-1]
+    flat_idx = idx.reshape(-1).astype(jnp.int32)
+    flat_g = g.reshape(-1, f).astype(jnp.float32)
+    si, *sg_cols = jax.lax.sort(
+        (flat_idx, *(flat_g[:, i] for i in range(f))), num_keys=1)
+    sg = jnp.stack(sg_cols, axis=-1)
+    csum = jnp.cumsum(sg, axis=0)
+    m = si.shape[0]
+    is_end = jnp.concatenate([si[1:] != si[:-1],
+                              jnp.ones((1,), bool)])
+    is_start = jnp.concatenate([jnp.ones((1,), bool), si[1:] != si[:-1]])
+    # Exclusive cumsum at each row (the value just BEFORE the segment).
+    csum_excl = csum - sg
+    trash = jnp.int32(n_rows)
+    end_rows = jnp.where(is_end, si, trash)
+    start_rows = jnp.where(is_start, si, trash)
+    zeros = jnp.zeros((n_rows, f), jnp.float32)
+    # One row per touched table entry in each scatter -> unique indices.
+    totals = (zeros.at[end_rows].set(csum, mode="drop",
+                                     unique_indices=True)
+              - zeros.at[start_rows].set(csum_excl, mode="drop",
+                                         unique_indices=True))
+    return totals.astype(dtype), None
+
+
+_table_gather_sorted.defvjp(_table_gather_sorted_fwd, _table_gather_sorted_bwd)
+
+
 def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     """Multiresolution hash encoding: (..., 3) world points -> (..., L*F).
 
@@ -155,7 +218,14 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     frac = jnp.stack(frac_levels, axis=-2)            # (..., L, 3)
 
     # ONE gather over the flattened (L*T, F) table (see module docstring).
-    feats = jnp.take(tables.reshape(L * T, F), idx, axis=0)  # (..., L, 8, F)
+    # The gather's backward is the training bottleneck — cfg.grad_impl
+    # selects the sorted segment-sum VJP (_table_gather_sorted) over XLA's
+    # colliding-index scatter-add.
+    flat = tables.reshape(L * T, F)
+    if getattr(cfg, "grad_impl", "scatter") == "sorted":
+        feats = _table_gather_sorted(flat, idx)       # (..., L, 8, F)
+    else:
+        feats = jnp.take(flat, idx, axis=0)           # (..., L, 8, F)
 
     # Trilinear weights: prod over xyz of (1-frac) or frac per corner bit.
     c = jnp.asarray(_CORNERS, frac.dtype)             # (8, 3)

@@ -253,3 +253,35 @@ def test_hashgrid_single_pass_render_and_aux():
                            key, cfg, return_aux=True)
     assert rgb.shape == (8, 3) and bool(jnp.isfinite(rgb).all())
     assert aux["depth"].shape == (8,) and aux["t_fine"].shape == (8, 16)
+
+
+def test_sorted_table_gradient_matches_scatter():
+    """The sorted segment-sum VJP (grad_impl='sorted', the TPU default —
+    XLA's colliding-index scatter-add measured 467 rays/s) must produce
+    the same table gradient as autodiff through jnp.take, to f32 cumsum
+    tolerance, including heavy collisions (many points in one cell)."""
+    key = jax.random.key(11)
+    cfg_sc = TINY.replace(grad_impl="scatter")
+    cfg_so = TINY.replace(grad_impl="sorted")
+    params = init_hashgrid_params(key, TINY)
+    # Cluster points so coarse levels collide heavily.
+    pts = jnp.concatenate([
+        jax.random.uniform(key, (64, 3), minval=-0.9, maxval=0.9),
+        jax.random.uniform(jax.random.fold_in(key, 1), (64, 3),
+                           minval=0.01, maxval=0.02),
+    ])
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (128, 1))
+
+    def loss(p, cfg):
+        rgb, sigma = hashgrid_mlp(p, pts, dirs, cfg=cfg)
+        return jnp.sum(rgb ** 2) + jnp.sum(jnp.tanh(sigma))
+
+    g_sc = jax.grad(loss)(params, cfg_sc)
+    g_so = jax.grad(loss)(params, cfg_so)
+    np.testing.assert_allclose(np.asarray(g_so["hash_tables"]),
+                               np.asarray(g_sc["hash_tables"]),
+                               rtol=2e-4, atol=2e-6)
+    # non-table grads identical paths
+    np.testing.assert_allclose(np.asarray(g_so["sigma0"]["kernel"]),
+                               np.asarray(g_sc["sigma0"]["kernel"]),
+                               rtol=1e-6, atol=1e-8)

@@ -60,6 +60,8 @@ BASELINES = {
     "hashgrid_800": "base_800",
     "hashgrid_s32x64": "s32x64_800",
     "hashgrid_train": "train",
+    "hashgrid_train_sc": "hashgrid_train",
+    "hashgrid_train_srt": "hashgrid_train_sc",
     "hashgrid_s128x0": "hashgrid_800",
     "s128x0_accel_aabb": "accel_aabb_800",
     "s64x0_accel_aabb": "s128x0_accel_aabb",

@@ -142,7 +142,11 @@ run student128_s32x64   NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64 NERF_BENCH_SA
 # default L=16/T=2^17 config, full and reduced sample counts.
 run hashgrid_800        NERF_BENCH_SIZE=800 NERF_BENCH_MODEL=hashgrid
 run hashgrid_s32x64     NERF_BENCH_SIZE=800 NERF_BENCH_MODEL=hashgrid NERF_BENCH_SAMPLES=32,64
+# Table-gradient A/B: default is the sorted segment-sum custom VJP
+# (XLA colliding-index scatter-add measured 467 rays/s, 2026-08-19):
 run hashgrid_train      NERF_BENCH_MODE=train NERF_BENCH_MODEL=hashgrid
+run hashgrid_train_sc   NERF_BENCH_MODE=train NERF_BENCH_MODEL=hashgrid NERF_HASH_GRAD=scatter
+run hashgrid_train_srt  NERF_BENCH_MODE=train NERF_BENCH_MODEL=hashgrid NERF_HASH_GRAD=sorted
 # Single-pass mode (n_fine=0): no hierarchical resampling — the
 # Instant-NGP regime. The hash leg halves its field evals; the MLP leg
 # pairs it with accel+aabb as a deep point on the rays/s-vs-PSNR frontier.
