@@ -312,6 +312,14 @@ def _arm_deadline() -> None:
 
 
 def main() -> None:
+    # Measured accel defaults (sweep 2026-08-19, docs/PERF.md): the
+    # winning accel shape is NO per-sample culling + probe-based ray
+    # packing on stride-4 subsampled ranges — off_probe_s4 377K rays/s @
+    # 87 dB vs dense 298K. Explicit env values override. Set before any
+    # record can print so error records join the same metric series.
+    os.environ.setdefault("NERF_ACCEL_COMPACT", "off")
+    os.environ.setdefault("NERF_BENCH_AABB_PROBES", "128")
+    os.environ.setdefault("NERF_BENCH_RANGE_STRIDE", "4")
     if os.environ.get("NERF_BENCH_PLATFORM"):
         # Smoke-test escape hatch (e.g. =cpu): the axon plugin overrides
         # $JAX_PLATFORMS, so the backend must be forced via jax.config

@@ -59,7 +59,9 @@ def test_bench_auto_rejects_bad_accel_config():
 def test_bench_explicit_accel_flags_bad_config_as_error():
     """NERF_BENCH_ACCEL=1 keeps round-1 semantics: a below-contract run is
     reported but flagged invalid (vs_baseline zeroed + error field)."""
-    rec = _run_bench({"NERF_BENCH_ACCEL": "1",
+    # Termination culling lives in the masking modes; the round-3 default
+    # accel_compact="off" ignores NERF_BENCH_ACCEL_T entirely.
+    rec = _run_bench({"NERF_BENCH_ACCEL": "1", "NERF_ACCEL_COMPACT": "none",
                       "NERF_BENCH_ACCEL_T": "0.9", "NERF_BENCH_ACCEL_SLACK": "0"})
     assert rec["vs_baseline"] == 0.0
     assert "accel_psnr_db" in rec and rec["accel_psnr_db"] < 40.0

@@ -64,7 +64,7 @@ run default_800         NERF_BENCH_SIZE=800
 run base_800            NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0
 run interleave_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_INTERLEAVE=1
 run psampling_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_BENCH_SAMPLING=pallas
-run accel_800           NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
+run accel_800           NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=none NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
 # Compaction impl A/B (historical: BOTH lose to dense — scatter 44 K,
 # gather 21 K vs 291 K exact, 2026-08-18; cull disabled for isolation):
 run accel_gc_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=gather NERF_BENCH_CULL_RAYS=0
@@ -73,20 +73,20 @@ run accel_scatter_800   NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPAC
 # occupancy-zeroed sigma — zero compaction overhead) + ray-level packing
 # (background rays composited without rendering). accel_mask isolates the
 # mask overhead; accel_cull is the combined new default accel path.
-run accel_mask_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_CULL_RAYS=0
-run accel_cull_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1
-run accel_cull_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1
-run accel_cull_probe    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
+run accel_mask_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=none NERF_BENCH_CULL_RAYS=0 NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
+run accel_cull_800      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=none NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
+run accel_cull_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=none NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
+run accel_cull_probe    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=none NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=1
 # accel_compact=off: NO per-sample culling — the grid steers ray packing
 # + AABB placement only. Motivation: the occupancy mask alone measured 40%
 # of a dense frame (accel_mask_800: 182K vs base 298K) while zeroing sigma
 # only where it is already ~0; with it off, rendered rays are bitwise
 # exact and only packed-away background rays deviate (PSNR-guarded).
-run accel_off_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off
-run accel_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
+run accel_off_800       NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
+run accel_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
 # Probe-culling WITHOUT placement change (off mode): placement-exact
 # 64+128 with ~33% of rays packed away (the headline candidate):
-run accel_off_probe     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128
+run accel_off_probe     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=1
 # Strided probe ranges (accel.strided_ray_ranges): full-res 800^2x128
 # probing measured ~0.6 s/frame of XLA gathers — stride 4 cuts them 16x
 # with a conservative 3x3 union-pool. These are the headline candidates:
@@ -94,9 +94,9 @@ run off_probe_s4        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPAC
 run off_probe_s8        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=8
 run s32x64_off_probe_s4 NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4
 run s64x0_off_probe_s4  NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4
-run s32x64_off_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
-run s32x64_off_probe    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128
-run s64x0_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1
+run s32x64_off_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
+run s32x64_off_probe    NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=1
+run s64x0_off_aabb      NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
 # Winner combos
 run accel_interleave    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_FUSED_INTERLEAVE=1
 run accel_psampling     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_BENCH_SAMPLING=pallas
