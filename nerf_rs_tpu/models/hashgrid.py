@@ -12,11 +12,17 @@ culling) toward the 10 M rays/s north-star (BASELINE.md).
 
 TPU-first design decisions (vs the paper's CUDA kernels):
 
-- **One stacked gather.** All L levels live in a single ``(L*T, F)`` table;
-  per-level corner indices are offset by ``level*T`` and gathered in ONE
-  ``jnp.take`` — XLA lowers this to a single dynamic-gather sweep over HBM
-  instead of L kernel launches. The paper's per-level concatenated loop
-  maps badly to XLA's fusion model.
+- **Eight level-stacked gathers, one per trilinear corner.** All L levels
+  live in a single ``(L*T, F)`` table; per-level indices are offset by
+  ``level*T`` so each corner's features for EVERY level come from one
+  ``jnp.take`` (8 gathers total, not the paper's L-iteration loop). A
+  single monolithic ``(..., L, 8)`` gather moves the same HBM bytes but
+  materializes 8x the peak intermediates — at render sizes (4096-ray
+  chunks x 192 samples x L=16) that is ~1.2 GB of idx+feats+weight
+  tensors per chunk, which hard-crashed the 16 GB v5e worker (sweep
+  hashgrid_800 exit-1 records, 2026-08-19). The corner loop keeps the
+  peak under ~200 MB and lets XLA fuse each corner's multiply-add into
+  the gather output.
 - **Uniform table size.** Levels whose dense grid fits (``(N+1)^3 <= T``)
   index directly (no collisions — matches the paper Sec. 4); coarser
   levels simply waste table tail entries. A ragged per-level layout would
@@ -206,32 +212,44 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     x = (points.astype(jnp.float32) - lo) / (hi - lo)
     x = jnp.clip(x, 0.0, 1.0)
 
-    idx_levels = []
+    i0_levels = []
     frac_levels = []
-    for l, n in enumerate(resolutions):
+    for n in resolutions:
         pos = x * n                                   # corner lattice coords
         i0 = jnp.clip(jnp.floor(pos), 0, n - 1).astype(jnp.int32)
+        i0_levels.append(i0)
         frac_levels.append(pos - i0)                  # (..., 3) in [0, 1]
-        corners = i0[..., None, :] + jnp.asarray(_CORNERS, jnp.int32)  # (..., 8, 3)
-        idx_levels.append(_corner_indices(corners, n, T) + l * T)
-    idx = jnp.stack(idx_levels, axis=-2)              # (..., L, 8)
-    frac = jnp.stack(frac_levels, axis=-2)            # (..., L, 3)
 
-    # ONE gather over the flattened (L*T, F) table (see module docstring).
-    # The gather's backward is the training bottleneck — cfg.grad_impl
-    # selects the sorted segment-sum VJP (_table_gather_sorted) over XLA's
-    # colliding-index scatter-add.
+    # Eight level-stacked gathers over the flattened (L*T, F) table — one
+    # per trilinear corner, accumulated in place (see module docstring for
+    # why not one (..., L, 8) gather). The gather's backward is the
+    # training bottleneck — cfg.grad_impl selects the sorted segment-sum
+    # VJP (_table_gather_sorted) over XLA's colliding-index scatter-add.
     flat = tables.reshape(L * T, F)
     if getattr(cfg, "grad_impl", "scatter") == "sorted":
-        feats = _table_gather_sorted(flat, idx)       # (..., L, 8, F)
+        gather = _table_gather_sorted
     else:
-        feats = jnp.take(flat, idx, axis=0)           # (..., L, 8, F)
+        gather = lambda t, i: jnp.take(t, i, axis=0)  # noqa: E731
 
-    # Trilinear weights: prod over xyz of (1-frac) or frac per corner bit.
-    c = jnp.asarray(_CORNERS, frac.dtype)             # (8, 3)
-    w = jnp.prod(frac[..., None, :] * c + (1.0 - frac[..., None, :]) * (1.0 - c),
-                 axis=-1)                             # (..., L, 8)
-    enc = jnp.sum(feats * w[..., None].astype(feats.dtype), axis=-2)  # (..., L, F)
+    enc = None
+    for bx, by, bz in _CORNERS:
+        idx_levels = []
+        w_levels = []
+        for l, n in enumerate(resolutions):
+            ic = i0_levels[l] + jnp.asarray((bx, by, bz), jnp.int32)
+            idx_levels.append(_corner_indices(ic, n, T) + l * T)
+            f = frac_levels[l]
+            # Trilinear weight: per axis, frac when the corner bit is set,
+            # (1 - frac) otherwise — three (...,)-shaped multiplies.
+            w = ((f[..., 0] if bx else 1.0 - f[..., 0])
+                 * (f[..., 1] if by else 1.0 - f[..., 1])
+                 * (f[..., 2] if bz else 1.0 - f[..., 2]))
+            w_levels.append(w)
+        idx = jnp.stack(idx_levels, axis=-1)          # (..., L)
+        w = jnp.stack(w_levels, axis=-1)              # (..., L)
+        feats = gather(flat, idx)                     # (..., L, F)
+        term = feats * w[..., None].astype(feats.dtype)
+        enc = term if enc is None else enc + term
     return enc.reshape(*points.shape[:-1], L * F)
 
 
