@@ -92,6 +92,14 @@ run accel_off_probe     NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPAC
 # with a conservative 3x3 union-pool. These are the headline candidates:
 run off_probe_s4        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4
 run off_probe_s8        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=8
+# Headline-variant tuning around the measured winner (off_probe_s4,
+# 377 K rays/s @ 87 dB): stride neighbors, a tighter occupancy grid
+# (sigma 0.5 vs the 0.01 default — fewer cells -> more rays packed away),
+# and a 256^3 grid (finer probes find tighter runs).
+run off_probe_s2        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=2
+run off_probe_s6        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=6
+run off_probe_s4_thresh NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4 NERF_BENCH_ACCEL_THRESH=0.5
+run off_probe_s4_256    NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4 NERF_BENCH_ACCEL_RES=256
 run s32x64_off_probe_s4 NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4
 run s64x0_off_probe_s4  NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=64,0 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=128 NERF_BENCH_RANGE_STRIDE=4
 run s32x64_off_aabb     NERF_BENCH_SIZE=800 NERF_BENCH_SAMPLES=32,64 NERF_BENCH_ACCEL=1 NERF_ACCEL_COMPACT=off NERF_BENCH_ACCEL_AABB=1 NERF_BENCH_AABB_PROBES=0 NERF_BENCH_RANGE_STRIDE=1
