@@ -127,6 +127,31 @@ def _corner_indices(i: jnp.ndarray, n: int, table_size: int) -> jnp.ndarray:
     return (h & np.uint32(table_size - 1)).astype(jnp.int32)
 
 
+def _corner_indices_stacked(ic: jnp.ndarray, resolutions, table_size: int
+                            ) -> jnp.ndarray:
+    """Vectorized-over-levels _corner_indices: ``ic`` (..., L, 3) integer
+    corner coords -> (..., L) flat indices into the stacked (L*T, F) table
+    (level offsets included). Which levels index directly vs hash is
+    STATIC (resolutions and T are config), so the select lowers to a
+    constant mask — one ops chain for all L levels instead of an L-times
+    unrolled graph (the unrolled form made the TPU program big enough
+    that remote compiles on the tunneled backend ran into the tens of
+    minutes)."""
+    np1 = np.asarray(resolutions, np.int64) + 1                  # (L,)
+    direct_mask = (np1 ** 3) <= table_size                       # (L,) static
+    np1_j = jnp.asarray(np1.astype(np.int32))
+    # Direct (collision-free) lattice index; max (1024+1)^3 < 2^31.
+    d_idx = (ic[..., 0] * np1_j + ic[..., 1]) * np1_j + ic[..., 2]
+    iu = ic.astype(jnp.uint32)
+    h = ((iu[..., 0] * np.uint32(_PRIMES[0]))
+         ^ (iu[..., 1] * np.uint32(_PRIMES[1]))
+         ^ (iu[..., 2] * np.uint32(_PRIMES[2])))
+    h_idx = (h & np.uint32(table_size - 1)).astype(jnp.int32)
+    idx = jnp.where(jnp.asarray(direct_mask), d_idx.astype(jnp.int32), h_idx)
+    level_off = jnp.arange(len(resolutions), dtype=jnp.int32) * table_size
+    return idx + level_off
+
+
 # The 8 trilinear corner offsets, (8, 3) — static.
 _CORNERS = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
                     axis=-1).reshape(8, 3)
@@ -212,13 +237,14 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     x = (points.astype(jnp.float32) - lo) / (hi - lo)
     x = jnp.clip(x, 0.0, 1.0)
 
-    i0_levels = []
-    frac_levels = []
-    for n in resolutions:
-        pos = x * n                                   # corner lattice coords
-        i0 = jnp.clip(jnp.floor(pos), 0, n - 1).astype(jnp.int32)
-        i0_levels.append(i0)
-        frac_levels.append(pos - i0)                  # (..., 3) in [0, 1]
+    # All levels at once: (..., L, 3) lattice coords. The per-level loop
+    # form unrolled L copies of the index math into the graph; stacking
+    # keeps the program one ops chain regardless of L (compile time).
+    ns = jnp.asarray(resolutions, jnp.float32)        # (L,) static values
+    pos = x[..., None, :] * ns[:, None]               # (..., L, 3)
+    i0 = jnp.clip(jnp.floor(pos), 0.0,
+                  ns[:, None] - 1.0).astype(jnp.int32)
+    frac = pos - i0                                   # (..., L, 3) in [0, 1]
 
     # Eight level-stacked gathers over the flattened (L*T, F) table — one
     # per trilinear corner, accumulated in place (see module docstring for
@@ -232,21 +258,14 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
         gather = lambda t, i: jnp.take(t, i, axis=0)  # noqa: E731
 
     enc = None
-    for bx, by, bz in _CORNERS:
-        idx_levels = []
-        w_levels = []
-        for l, n in enumerate(resolutions):
-            ic = i0_levels[l] + jnp.asarray((bx, by, bz), jnp.int32)
-            idx_levels.append(_corner_indices(ic, n, T) + l * T)
-            f = frac_levels[l]
-            # Trilinear weight: per axis, frac when the corner bit is set,
-            # (1 - frac) otherwise — three (...,)-shaped multiplies.
-            w = ((f[..., 0] if bx else 1.0 - f[..., 0])
-                 * (f[..., 1] if by else 1.0 - f[..., 1])
-                 * (f[..., 2] if bz else 1.0 - f[..., 2]))
-            w_levels.append(w)
-        idx = jnp.stack(idx_levels, axis=-1)          # (..., L)
-        w = jnp.stack(w_levels, axis=-1)              # (..., L)
+    for bits in _CORNERS:
+        ic = i0 + jnp.asarray(bits, jnp.int32)        # (..., L, 3)
+        idx = _corner_indices_stacked(ic, resolutions, T)  # (..., L)
+        # Trilinear weight: per axis, frac when the corner bit is set,
+        # (1 - frac) otherwise — three (..., L)-shaped multiplies.
+        w = ((frac[..., 0] if bits[0] else 1.0 - frac[..., 0])
+             * (frac[..., 1] if bits[1] else 1.0 - frac[..., 1])
+             * (frac[..., 2] if bits[2] else 1.0 - frac[..., 2]))
         feats = gather(flat, idx)                     # (..., L, F)
         term = feats * w[..., None].astype(feats.dtype)
         enc = term if enc is None else enc + term
