@@ -387,7 +387,7 @@ def cmd_train(args) -> int:
         # table gradients are minute under the default eps).
         hcfg = HashGridConfig(
             levels=args.hash_levels, table_log2=args.hash_table_log2,
-            res_max=args.hash_res_max,
+            res_max=args.hash_res_max, features=args.hash_features,
             aabb=(-args.hash_extent, args.hash_extent))
         lr = args.lr if args.lr is not None else 1e-2
         cfg = TrainConfig(
@@ -919,6 +919,14 @@ def main(argv=None) -> int:
                    help="hashgrid: log2 table entries per level")
     p.add_argument("--hash-res-max", type=int, default=1024,
                    help="hashgrid: finest grid resolution")
+    p.add_argument("--hash-features", type=int, default=2,
+                   help="hashgrid: feature channels per table entry. TPU "
+                        "note: XLA row-gather throughput is width-"
+                        "independent (~128M rows/s on v5e, tools/"
+                        "gather_study.py), so at fixed encoding width L*F "
+                        "fewer levels x wider features is directly faster "
+                        "— '--hash-levels 4 --hash-features 8' gathers 4x "
+                        "fewer rows than the paper's 16x2")
     p.add_argument("--hash-extent", type=float, default=2.0,
                    help="hashgrid: scene AABB half-width (+-extent)")
     p.add_argument("--width", type=int, default=256,
