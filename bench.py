@@ -205,7 +205,7 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
         suffix += "+customweights"
     if os.environ.get("NERF_BENCH_MODEL", "mlp") != "mlp":
         suffix += f"+{os.environ.get('NERF_BENCH_MODEL')}"
-        if os.environ.get("NERF_HASH_GRAD", "sorted") != "sorted":
+        if os.environ.get("NERF_HASH_GRAD", "scatter") != "scatter":
             suffix += f"+g{os.environ['NERF_HASH_GRAD']}"
     if os.environ.get("NERF_BENCH_CHECKPOINT"):
         suffix += "+checkpoint"
@@ -412,10 +412,11 @@ def main() -> None:
         cfg = cfg.replace(
             model="hashgrid", impl="xla",
             ray_chunk=min(cfg.ray_chunk, 4096),
-            # Table-gradient path A/B (NERF_HASH_GRAD=scatter for the XLA
-            # scatter-add baseline; default is the sorted segment-sum VJP).
+            # Table-gradient path A/B (NERF_HASH_GRAD=sorted for the
+            # segment-sum VJP; scatter won the 2026-08-19 A/B, 556 vs 335
+            # rays/s — see HashGridConfig.grad_impl).
             hash=cfg.hash.replace(
-                grad_impl=os.environ.get("NERF_HASH_GRAD", "sorted")))
+                grad_impl=os.environ.get("NERF_HASH_GRAD", "scatter")))
     if os.environ.get("NERF_BENCH_MODE", "render") == "train":
         return _bench_train(cfg, repeats)
     # bfloat16 keeps image-level parity (~40 dB PSNR vs the f32 oracle, same

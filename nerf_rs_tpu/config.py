@@ -32,13 +32,17 @@ class HashGridConfig:
     sh_degree: int = 4      # spherical-harmonics view encoding degree
     aabb: tuple = (-2.0, 2.0)  # scene bounds per axis — the same
     #                            convention as accel.build_occupancy_grid
-    grad_impl: str = "sorted"  # table-gradient path: "scatter" (XLA
-    #                            autodiff scatter-add — measured 467 rays/s
-    #                            on v5e: colliding-index scatters serialize)
-    #                            or "sorted" (custom VJP: sort-by-index +
+    grad_impl: str = "scatter"  # table-gradient path, A/B'd on v5e
+    #                            (sweep 2026-08-19): "scatter" (XLA
+    #                            autodiff scatter-add) measured 556 rays/s
+    #                            vs "sorted" (custom VJP: sort-by-index +
     #                            cumsum-difference segment sums + two
-    #                            UNIQUE-index scatters — models/hashgrid.py
-    #                            _table_gather)
+    #                            unique-index scatters) at 335 rays/s —
+    #                            the sort costs more than the colliding
+    #                            scatters it avoids. Both are bound by the
+    #                            ~125 M rows/s XLA gather/scatter path
+    #                            (tools/gather_study.py); the real lever
+    #                            is fewer levels x wider features.
 
     def replace(self, **kw) -> "HashGridConfig":
         return dataclasses.replace(self, **kw)
