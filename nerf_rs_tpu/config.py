@@ -111,6 +111,21 @@ class RenderConfig:
     #                                  than the culled rays save
     #                                  (accel.strided_ray_ranges). Applies
     #                                  to the image-level render paths.
+    host_chunk_rays: int = 0         # max rays per DEVICE PROGRAM execution:
+    #                                  image renders split into host-side
+    #                                  groups of this many rays (rounded to
+    #                                  ray_chunk), each its own jit call.
+    #                                  0 = auto: off for the MLP family (a
+    #                                  frame is ~2 s device time), 65536 for
+    #                                  hashgrid — its gather-bound renders
+    #                                  run ~100 s/frame in one lax.map
+    #                                  program, and single executions past
+    #                                  ~90 s crash the tunneled v5e worker
+    #                                  (watchdog; hashgrid_800 exit-1
+    #                                  records, 2026-08-19). -1 = never
+    #                                  split. Per-ray RNG is keyed by GLOBAL
+    #                                  ray index, so the split is bitwise
+    #                                  invariant (tests/test_render.py).
     accel_compact: str = "none"      # how culled sample rows skip the MLP:
     #                                  "off"     — no per-sample culling AT
     #                                              ALL: the grid steers ray

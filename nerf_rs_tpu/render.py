@@ -510,14 +510,33 @@ def render_image_aux(
     if pad:
         dirs_flat = jnp.concatenate(
             [dirs_flat, jnp.ones((pad, 3), dirs.dtype)], axis=0)
-    rgb, depth, acc = _render_flat_aux(
-        params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
-        jnp.asarray(camera.near), jnp.asarray(camera.far), key, n + pad, cfg,
-        grid=grid,
-    )
+    group = _host_group(cfg, chunk, n + pad)
+    parts = []
+    for s in range(0, n + pad, group):
+        g = min(group, n + pad - s)
+        parts.append(_render_flat_aux(
+            params_coarse, params_fine, jnp.asarray(camera.position),
+            jax.lax.dynamic_slice_in_dim(dirs_flat, s, g),
+            jnp.asarray(camera.near), jnp.asarray(camera.far), key, g, cfg,
+            grid=grid, chunk=chunk, ray_id_base=s,
+        ))
+    rgb, depth, acc = (jnp.concatenate([p[i] for p in parts], axis=0)
+                       for i in range(3))
     return (rgb[:n].reshape(height, width, 3),
             depth[:n].reshape(height, width),
             acc[:n].reshape(height, width))
+
+
+def _host_group(cfg: RenderConfig, chunk: int, n_total: int) -> int:
+    """Rays per device-program execution (cfg.host_chunk_rays): 0 = auto
+    (hashgrid family 65536, else unsplit), -1 = never split. Rounded down
+    to a ray_chunk multiple so _render_flat's chunking divides evenly."""
+    hc = cfg.host_chunk_rays
+    if hc == 0:
+        hc = 65536 if cfg.model == "hashgrid" else 0
+    if hc <= 0:
+        return n_total
+    return min(max(chunk, (hc // chunk) * chunk), n_total)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -601,11 +620,31 @@ def _render_image_culled(params_c, params_f, camera, height, width, key, cfg,
     if cfg.accel_sample_aabb:
         ranges_flat = jnp.take(
             jnp.concatenate([t0, t1], axis=-1), order_r, axis=0)
-    rgb = _render_flat(
-        params_c, params_f, origin, jnp.take(dirs_flat, order_r, axis=0),
-        near, far, key, n_render, cfg, grid=grid, chunk=chunk,
-        ray_ids_flat=order_r, ray_ranges_flat=ranges_flat,
-    )
+    dirs_packed = jnp.take(dirs_flat, order_r, axis=0)
+    group = _host_group(cfg, chunk, n_render)
+    if group < n_render:
+        # Same host-side program splitting as render_image (per-ray RNG is
+        # keyed by the packed ray's ORIGINAL image index, so splitting is
+        # bitwise invariant here too).
+        parts = []
+        for s in range(0, n_render, group):
+            g = min(group, n_render - s)
+            parts.append(_render_flat(
+                params_c, params_f, origin,
+                jax.lax.dynamic_slice_in_dim(dirs_packed, s, g),
+                near, far, key, g, cfg, grid=grid, chunk=chunk,
+                ray_ids_flat=jax.lax.dynamic_slice_in_dim(order_r, s, g),
+                ray_ranges_flat=(
+                    jax.lax.dynamic_slice_in_dim(ranges_flat, s, g)
+                    if ranges_flat is not None else None),
+            ))
+        rgb = jnp.concatenate(parts, axis=0)
+    else:
+        rgb = _render_flat(
+            params_c, params_f, origin, dirs_packed,
+            near, far, key, n_render, cfg, grid=grid, chunk=chunk,
+            ray_ids_flat=order_r, ray_ranges_flat=ranges_flat,
+        )
     bg = 1.0 if cfg.white_background else 0.0
     img = jnp.full((n, 3), bg, jnp.float32).at[order_r].set(rgb)
     return img.reshape(height, width, 3)
@@ -639,6 +678,32 @@ def render_image(
     dirs_flat = dirs.reshape(n, 3)
     if pad:
         dirs_flat = jnp.concatenate([dirs_flat, jnp.ones((pad, 3), dirs.dtype)], axis=0)
+    group = _host_group(cfg, chunk, n + pad)
+    if group < n + pad:
+        # Host-side program splitting (cfg.host_chunk_rays): per-ray RNG
+        # streams are global-index keyed, so rendering the flat ray set in
+        # several jit calls is bitwise identical to one call.
+        outs = []
+        lives = []
+        for s in range(0, n + pad, group):
+            g = min(group, n + pad - s)
+            o = _render_flat(
+                params_coarse, params_fine, jnp.asarray(camera.position),
+                jax.lax.dynamic_slice_in_dim(dirs_flat, s, g),
+                jnp.asarray(camera.near), jnp.asarray(camera.far), key, g,
+                cfg, ray_id_base=s, grid=grid, return_live=return_live,
+                chunk=chunk,
+            )
+            if return_live:
+                o, live = o
+                lives.append(live)
+            outs.append(o)
+        out = jnp.concatenate(outs, axis=0)
+        if return_live:
+            live = (jnp.max(jnp.stack([lc for lc, _ in lives])),
+                    jnp.max(jnp.stack([lf for _, lf in lives])))
+            return out[:n].reshape(height, width, 3), live
+        return out[:n].reshape(height, width, 3)
     out = _render_flat(
         params_coarse, params_fine, jnp.asarray(camera.position), dirs_flat,
         jnp.asarray(camera.near), jnp.asarray(camera.far), key, n + pad, cfg,

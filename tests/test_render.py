@@ -122,6 +122,40 @@ def test_render_chunk_invariant(lego_params, golden):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_render_host_split_invariant(lego_params, golden):
+    """cfg.host_chunk_rays splits a frame across several device-program
+    executions (the hashgrid family's ~100 s single-program renders crash
+    the tunneled v5e worker); global-ray-index RNG makes the split
+    bitwise invariant."""
+    cam = camera_from_golden(golden)
+    key = jax.random.key(4)
+    base = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64)
+    a = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+                     key, base.replace(host_chunk_rays=-1))
+    b = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+                     key, base.replace(host_chunk_rays=64))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_host_split_invariant_culled(lego_params, golden):
+    """Same invariance through the ray-culled accel path (packed rays keep
+    their original image-index RNG ids)."""
+    from nerf_rs_tpu.accel import build_scene_grid
+
+    cam = camera_from_golden(golden)
+    key = jax.random.key(4)
+    grid = build_scene_grid(lego_params["coarse"], lego_params["fine"],
+                            resolution=16)
+    base = RenderConfig(n_coarse=16, n_fine=32, ray_chunk=64,
+                        accel_compact="off", accel_cull_rays=True,
+                        accel_aabb_probes=16)
+    a = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+                     key, base.replace(host_chunk_rays=-1), grid=grid)
+    b = render_image(lego_params["coarse"], lego_params["fine"], cam, 16, 16,
+                     key, base.replace(host_chunk_rays=64), grid=grid)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_render_image_vs_committed_golden(lego_params, golden):
     """Tight image regression vs a render committed from this framework
     (f32 XLA path, fixed key): any numerics drift in camera, sampling,
