@@ -798,7 +798,12 @@ def cmd_info(args) -> int:
 def _add_common(p):
     p.add_argument("--weights", help="weight bundle dir (default: auto-discover)")
     p.add_argument("--camera", help="camera JSON (default: bundle's golden JSON)")
-    p.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    p.add_argument("--impl", default="pallas",
+                   choices=["xla", "pallas", "int8", "int8qat"],
+                   help="MLP impl: fused Pallas kernel, XLA oracle, real "
+                        "W8A8 int8 (MXU int8 inference), or the QAT "
+                        "fake-quant forward to distill int8 students "
+                        "(models/quant.py)")
     p.add_argument("--sampling-impl", default="xla", choices=["xla", "pallas"],
                    help="resampling chain: fused Pallas kernel or XLA ops")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
@@ -878,7 +883,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("benchmark", help="rays/s benchmark (prints one JSON line)")
     p.add_argument("--size", type=int, default=800)
-    p.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    p.add_argument("--impl", default="pallas",
+                   choices=["xla", "pallas", "int8", "int8qat"],
+                   help="MLP impl: fused Pallas kernel, XLA oracle, real "
+                        "W8A8 int8 (MXU int8 inference), or the QAT "
+                        "fake-quant forward to distill int8 students "
+                        "(models/quant.py)")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--mode", default="render", choices=["render", "train"],
                    help="train = full fwd+bwd+opt steps")

@@ -49,8 +49,19 @@ def get_mlp_fn(cfg: RenderConfig):
         return functools.partial(
             fused_nerf_mlp, x_freqs=cfg.x_freqs, d_freqs=cfg.d_freqs, dtype=cfg.dtype
         )
+    if cfg.impl in ("int8", "int8qat"):
+        # W8A8 quantized family (models/quant.py): "int8" = real MXU int8
+        # inference, "int8qat" = the float STE emulation the QAT distill
+        # trains through. Weights quantize from the ordinary f32 pytree
+        # inside the jit, so params/checkpoints are impl-agnostic.
+        from nerf_rs_tpu.models.quant import int8_nerf_mlp
+
+        return functools.partial(
+            int8_nerf_mlp, x_freqs=cfg.x_freqs, d_freqs=cfg.d_freqs,
+            fake=cfg.impl == "int8qat")
     if cfg.impl != "xla":
-        raise ValueError(f"unknown MLP impl {cfg.impl!r} (expected 'xla' or 'pallas')")
+        raise ValueError(f"unknown MLP impl {cfg.impl!r} "
+                         "(expected 'xla', 'pallas', 'int8', or 'int8qat')")
 
     def xla_mlp(params, points, viewdirs, sigma_only: bool = False):
         dt = jnp.dtype(cfg.dtype)
