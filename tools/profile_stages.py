@@ -8,7 +8,11 @@ plus effective TFLOP/s so we can see how far each piece is from the v5e
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
 import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

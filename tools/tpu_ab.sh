@@ -18,8 +18,12 @@ probe() {
     'import sys, bench; sys.exit(0 if bench._backend_alive(100) is None else 1)'
 }
 
-if ! probe; then
-  echo "tunnel down" >&2
+if [ "${TPU_AB_NO_PROBE:-0}" != "1" ] && ! probe; then
+  # NOTE: flock -n makes a BUSY chip (another client holding the lock)
+  # indistinguishable from an outage here. TPU_AB_NO_PROBE=1 skips the
+  # probe and lets each leg wait on the lock instead — use it when
+  # queueing legs behind a long-running chain/distill.
+  echo "tunnel down (or busy — TPU_AB_NO_PROBE=1 to queue anyway)" >&2
   exit 2
 fi
 
@@ -144,6 +148,13 @@ run tile2048_800        NERF_BENCH_SIZE=800 NERF_BENCH_ACCEL=0 NERF_FUSED_TILE=2
 # speed side of the distillation frontier before a student is trained):
 run student128_800      NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64
 run student128_s32x64   NERF_BENCH_SIZE=800 NERF_BENCH_ARCH=128,64 NERF_BENCH_SAMPLES=32,64
+# Int8 W8A8 (models/quant.py, XLA int8 MXU matmuls): speed side on the
+# canonical arch and the 128-student; quality rides the QAT distill
+# (train --impl int8qat), PTQ alone measured 39.4 dB (tools/int8_study.py).
+run int8_800            NERF_BENCH_SIZE=800 NERF_BENCH_IMPL=int8 NERF_BENCH_ACCEL=0
+run int8_probe          NERF_BENCH_SIZE=800 NERF_BENCH_IMPL=int8
+run int8_student128     NERF_BENCH_SIZE=800 NERF_BENCH_IMPL=int8 NERF_BENCH_ARCH=128,64
+run int8_student_s32x64 NERF_BENCH_SIZE=800 NERF_BENCH_IMPL=int8 NERF_BENCH_ARCH=128,64 NERF_BENCH_SAMPLES=32,64
 # Hash-grid family throughput (Instant-NGP encoding, models/hashgrid.py;
 # random tables — the speed side before one is distilled). The gathers,
 # not matmuls, dominate: this measures XLA's TPU gather path at the
