@@ -69,8 +69,11 @@ while [ "$steps" -lt "$MAX_STEPS" ]; do
   fi
   prev_steps=$steps
   echo "=== evaluate @ step $steps ===" | tee -a "$LOG"
+  # CONV_EVAL_ARGS: extra evaluate flags — e.g. "--impl int8" so a QAT
+  # distill is judged on the arithmetic it will actually serve.
   ev=$($TPU timeout 1200 python -m nerf_rs_tpu evaluate \
-       --checkpoint-dir "$CKPT" --size "$EVAL_SIZE" 2>>"$LOG")
+       --checkpoint-dir "$CKPT" --size "$EVAL_SIZE" \
+       ${CONV_EVAL_ARGS:-} 2>>"$LOG")
   echo "$ev" | tee -a "$LOG"
   psnr=$(echo "$ev" | grep -oE 'PSNR vs teacher [0-9.]+' | grep -oE '[0-9.]+$')
   [ -z "$psnr" ] && psnr=0
