@@ -180,13 +180,13 @@ def _table_gather_sorted(flat_tables: jnp.ndarray,
     relative to per-segment sums — noise far below the minibatch variance
     SGD already tolerates (and the A/B quality run guards it end to end).
     """
-    return jnp.take(flat_tables, idx, axis=0)
+    return jnp.asarray(flat_tables).at[idx].get(mode="promise_in_bounds")
 
 
 def _table_gather_sorted_fwd(flat_tables, idx):
     # flat_tables rides along as a residual only for its (static) shape
     # and dtype — it is alive as a parameter anyway.
-    return jnp.take(flat_tables, idx, axis=0), (idx, flat_tables)
+    return jnp.asarray(flat_tables).at[idx].get(mode="promise_in_bounds"), (idx, flat_tables)
 
 
 def _table_gather_sorted_bwd(res, g):
@@ -251,11 +251,16 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     # why not one (..., L, 8) gather). The gather's backward is the
     # training bottleneck — cfg.grad_impl selects the sorted segment-sum
     # VJP (_table_gather_sorted) over XLA's colliding-index scatter-add.
+    # promise_in_bounds: corner indices are in [0, L*T) by construction
+    # (hash & (T-1), direct levels fit the table, + level*T), so XLA's
+    # OOB-clamp masks — measured 384 MB of padded pred[batch, L] temps per
+    # chunk in the memory profile — are pure waste.
     flat = tables.reshape(L * T, F)
     if getattr(cfg, "grad_impl", "scatter") == "sorted":
         gather = _table_gather_sorted
     else:
-        gather = lambda t, i: jnp.take(t, i, axis=0)  # noqa: E731
+        gather = lambda t, i: jnp.asarray(t).at[i].get(  # noqa: E731
+            mode="promise_in_bounds")
 
     enc = None
     for bits in _CORNERS:

@@ -113,8 +113,10 @@ def main():
 
     hcfg = HashGridConfig()
     hp = jax.device_put(init_hashgrid_params(jax.random.key(2), hcfg))
-    n_samp = n_rays * (nc + nf)
-    pts_flat = pts.reshape(n_samp, 3)
+    # Quarter batch: at the MLP stages' 3.1 M samples the encode's gather
+    # temporaries OOM the chip (it runs 4096-ray chunks in production).
+    n_samp = n_rays * (nc + nf) // 4
+    pts_flat = pts.reshape(-1, 3)[:n_samp]
     enc_fn = jax.jit(lambda tb, x: hash_encode(tb, x, hcfg))
     t = timeit(enc_fn, hp["hash_tables"], pts_flat)
     gb = n_samp * hcfg.levels * 8 * hcfg.features * 4 / 1e9  # f32 rows touched
@@ -122,7 +124,9 @@ def main():
           f"{t*1e3:.2f} ms -> {n_samp/t/1e6:.1f} M samples/s, "
           f"{gb/t:.0f} GB/s gathered-row traffic")
     hmlp = jax.jit(lambda p, x, d: hashgrid_mlp(p, x, d, cfg=hcfg, dtype="bfloat16"))
-    t = timeit(hmlp, hp, pts_flat, jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(n_samp, 3))
+    t = timeit(hmlp, hp, pts_flat,
+               jnp.broadcast_to(dirs[:, None, :],
+                                pts.shape).reshape(-1, 3)[:n_samp])
     print(f"hashgrid full forward ({n_samp} samples): {t*1e3:.2f} ms "
           f"-> {n_samp/t/1e6:.1f} M samples/s")
 
