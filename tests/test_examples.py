@@ -40,6 +40,8 @@ def _run(script, *args):
      ("--cpu", "--steps", "2", "--batch-rays", "64", "--levels", "2",
       "--table-log2", "10", "--res-max", "16", "--eval-size", "8",
       "--out", "/tmp/ex11.png")),
+    ("12_int8_quantization.py",
+     ("--cpu", "--size", "16", "--steps", "2", "--batch-rays", "64")),
 ])
 def test_example_runs(script, args, assets_dir):
     r = _run(script, *args)
