@@ -27,9 +27,17 @@ export TPU_AB_NO_PROBE=1
 say() { echo "$(date +%FT%T) $*" >> "$STATUS"; }
 bench_leg() { # bench_leg <label> ENV=V...
   local label="$1"; shift
-  env "$@" NERF_BENCH_LOCK_WAIT=2700 NERF_BENCH_DEADLINE=1500 \
-    NERF_BENCH_SIZE=800 timeout 3000 python bench.py >> "$LOG" 2>>"$STATUS" \
-    && say "$label bench appended" || say "$label bench FAILED"
+  local out
+  out=$(env "$@" NERF_BENCH_LOCK_WAIT=2700 NERF_BENCH_DEADLINE=1500 \
+        NERF_BENCH_SIZE=800 timeout 3000 python bench.py 2>>"$STATUS")
+  if [ -n "$out" ]; then
+    # Same config-labeled record shape as tpu_ab.sh legs (summarize_ab
+    # keys on "config").
+    echo "$out" | sed "s/^{/{\"config\": \"$label\", /" >> "$LOG"
+    say "$label bench appended"
+  else
+    say "$label bench FAILED"
+  fi
 }
 
 say "chain2 start"
