@@ -12,17 +12,18 @@ culling) toward the 10 M rays/s north-star (BASELINE.md).
 
 TPU-first design decisions (vs the paper's CUDA kernels):
 
-- **Eight level-stacked gathers, one per trilinear corner.** All L levels
-  live in a single ``(L*T, F)`` table; per-level indices are offset by
-  ``level*T`` so each corner's features for EVERY level come from one
-  ``jnp.take`` (8 gathers total, not the paper's L-iteration loop). A
-  single monolithic ``(..., L, 8)`` gather moves the same HBM bytes but
-  materializes 8x the peak intermediates — at render sizes (4096-ray
-  chunks x 192 samples x L=16) that is ~1.2 GB of idx+feats+weight
-  tensors per chunk, which hard-crashed the 16 GB v5e worker (sweep
-  hashgrid_800 exit-1 records, 2026-08-19). The corner loop keeps the
-  peak under ~200 MB and lets XLA fuse each corner's multiply-add into
-  the gather output.
+- **Layout-first encode: every intermediate is (L, N).** Levels ride the
+  sublane axis, flattened points the lane axis; per-axis component math
+  replaces any tensor with a trailing xyz(3)/corner(8)/feature(2) dim —
+  those tile to (8, 128) vregs at 8-64x padding, and the earlier
+  (..., L, 3) form cost 1.12 GB PER u32 index temp at 4096-ray chunks
+  and OOM'd the 16 GB v5e at compile (hashgrid_800 exit-1 records,
+  2026-08-19). All L levels live in one stacked ``(L*T, F)`` table
+  (per-level indices offset by ``level*T``); one gather per trilinear
+  corner, accumulated in place. On the bf16 F=2 speed path BOTH features
+  come from a single u32 element gather (``_packed_pair_gather``:
+  bitcast-packed pair, elementwise bit unpack, custom-VJP scatter-add
+  backward).
 - **Uniform table size.** Levels whose dense grid fits (``(N+1)^3 <= T``)
   index directly (no collisions — matches the paper Sec. 4); coarser
   levels simply waste table tail entries. A ragged per-level layout would
@@ -112,46 +113,6 @@ def level_resolutions(cfg) -> Tuple[int, ...]:
     return tuple(int(round(cfg.res_min * b ** l)) for l in range(cfg.levels))
 
 
-def _corner_indices(i: jnp.ndarray, n: int, table_size: int) -> jnp.ndarray:
-    """Flat table index for integer corner coords ``i`` (..., 3) on an
-    (n+1)^3 grid: direct (collision-free) when the dense grid fits in the
-    table, spatial hash otherwise (paper Sec. 4)."""
-    if (n + 1) ** 3 <= table_size:
-        return (i[..., 0] * (n + 1) + i[..., 1]) * (n + 1) + i[..., 2]
-    # uint32 wrap-around multiply (the primes exceed int32); the final mask
-    # keeps the index in [0, T) so the cast back to int32 is exact.
-    iu = i.astype(jnp.uint32)
-    h = ((iu[..., 0] * np.uint32(_PRIMES[0]))
-         ^ (iu[..., 1] * np.uint32(_PRIMES[1]))
-         ^ (iu[..., 2] * np.uint32(_PRIMES[2])))
-    return (h & np.uint32(table_size - 1)).astype(jnp.int32)
-
-
-def _corner_indices_stacked(ic: jnp.ndarray, resolutions, table_size: int
-                            ) -> jnp.ndarray:
-    """Vectorized-over-levels _corner_indices: ``ic`` (..., L, 3) integer
-    corner coords -> (..., L) flat indices into the stacked (L*T, F) table
-    (level offsets included). Which levels index directly vs hash is
-    STATIC (resolutions and T are config), so the select lowers to a
-    constant mask — one ops chain for all L levels instead of an L-times
-    unrolled graph (the unrolled form made the TPU program big enough
-    that remote compiles on the tunneled backend ran into the tens of
-    minutes)."""
-    np1 = np.asarray(resolutions, np.int64) + 1                  # (L,)
-    direct_mask = (np1 ** 3) <= table_size                       # (L,) static
-    np1_j = jnp.asarray(np1.astype(np.int32))
-    # Direct (collision-free) lattice index; max (1024+1)^3 < 2^31.
-    d_idx = (ic[..., 0] * np1_j + ic[..., 1]) * np1_j + ic[..., 2]
-    iu = ic.astype(jnp.uint32)
-    h = ((iu[..., 0] * np.uint32(_PRIMES[0]))
-         ^ (iu[..., 1] * np.uint32(_PRIMES[1]))
-         ^ (iu[..., 2] * np.uint32(_PRIMES[2])))
-    h_idx = (h & np.uint32(table_size - 1)).astype(jnp.int32)
-    idx = jnp.where(jnp.asarray(direct_mask), d_idx.astype(jnp.int32), h_idx)
-    level_off = jnp.arange(len(resolutions), dtype=jnp.int32) * table_size
-    return idx + level_off
-
-
 # The 8 trilinear corner offsets, (8, 3) — static.
 _CORNERS = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
                     axis=-1).reshape(8, 3)
@@ -220,6 +181,43 @@ def _table_gather_sorted_bwd(res, g):
 _table_gather_sorted.defvjp(_table_gather_sorted_fwd, _table_gather_sorted_bwd)
 
 
+@jax.custom_vjp
+def _packed_pair_gather(flat2: jnp.ndarray, idx: jnp.ndarray):
+    """Gather both bf16 features of a (M, 2) table with ONE u32 element
+    gather, returning a (f0, f1) pair of idx-shaped bf16 arrays.
+
+    TPU layout trick: the pair is bitcast to a (M,) uint32 column, so the
+    gather's OUTPUT has the same large-minor-dim shape as ``idx`` — no
+    trailing F=2 axis that would tile to (8, 128) vregs at 64x padding.
+    The halves unpack with elementwise bit ops (a bf16's f32 bits are its
+    own bits << 16). The custom VJP restores differentiability (bitcasts
+    have no gradient): the backward is the standard scatter-add, which
+    only runs in training."""
+    return _packed_pair_gather_fwd(flat2, idx)[0]
+
+
+def _packed_pair_gather_fwd(flat2, idx):
+    packed = jax.lax.bitcast_convert_type(flat2, jnp.uint32)   # (M,)
+    u = packed.at[idx].get(mode="promise_in_bounds")           # idx-shaped
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return ((lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)),
+            (idx, flat2.shape[0]))
+
+
+def _packed_pair_gather_bwd(res, g):
+    idx, m = res
+    g0, g1 = (v.astype(jnp.float32) for v in g)
+    dtab = jnp.zeros((m, 2), jnp.float32)
+    dtab = dtab.at[idx.reshape(-1)].add(
+        jnp.stack([g0.reshape(-1), g1.reshape(-1)], axis=-1))
+    return dtab.astype(jnp.bfloat16), None
+
+
+_packed_pair_gather.defvjp(_packed_pair_gather_fwd, _packed_pair_gather_bwd)
+
+
 def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     """Multiresolution hash encoding: (..., 3) world points -> (..., L*F).
 
@@ -228,53 +226,92 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     features are whatever the border learned; the renderer's occupancy /
     background handling keeps them inert, same stance as accel.py's
     out-of-AABB = unoccupied rule).
+
+    LAYOUT-FIRST internals (the v5e compile dump is the design document
+    here): every intermediate is a (L, N) array — levels on sublanes,
+    flattened points on lanes. Any array with a trailing xyz (3) or
+    feature (2) axis tiles to (8, 128) vregs at 8-64x padding; the
+    earlier (..., L, 3) form cost 1.12 GB PER u32 index temp at 4096-ray
+    chunks and OOM'd HBM at compile (hashgrid_800 exit-1 records,
+    2026-08-19). Per-axis component math + the packed-pair gather keep
+    the largest temp at the unpadded (L, N) size.
     """
+    tables = jnp.asarray(tables)
     L, T, F = tables.shape
     resolutions = level_resolutions(cfg)
     if L != len(resolutions):
         raise ValueError(f"tables have {L} levels, config implies {len(resolutions)}")
     lo, hi = cfg.aabb
-    x = (points.astype(jnp.float32) - lo) / (hi - lo)
-    x = jnp.clip(x, 0.0, 1.0)
+    batch_shape = points.shape[:-1]
+    xs = (points.astype(jnp.float32).reshape(-1, 3) - lo) / (hi - lo)
+    xs = jnp.clip(xs, 0.0, 1.0)                       # (N, 3)
 
-    # All levels at once: (..., L, 3) lattice coords. The per-level loop
-    # form unrolled L copies of the index math into the graph; stacking
-    # keeps the program one ops chain regardless of L (compile time).
     ns = jnp.asarray(resolutions, jnp.float32)        # (L,) static values
-    pos = x[..., None, :] * ns[:, None]               # (..., L, 3)
-    i0 = jnp.clip(jnp.floor(pos), 0.0,
-                  ns[:, None] - 1.0).astype(jnp.int32)
-    frac = pos - i0                                   # (..., L, 3) in [0, 1]
+    np1 = np.asarray(resolutions, np.int64) + 1
+    # Which levels index directly vs hash is STATIC (resolutions and T
+    # are config), so the select lowers to a constant (L, 1) mask.
+    direct_mask = jnp.asarray((np1 ** 3) <= T)[:, None]
+    np1_j = jnp.asarray(np1.astype(np.int32))[:, None]
+    level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
 
-    # Eight level-stacked gathers over the flattened (L*T, F) table — one
-    # per trilinear corner, accumulated in place (see module docstring for
-    # why not one (..., L, 8) gather). The gather's backward is the
-    # training bottleneck — cfg.grad_impl selects the sorted segment-sum
-    # VJP (_table_gather_sorted) over XLA's colliding-index scatter-add.
-    # promise_in_bounds: corner indices are in [0, L*T) by construction
-    # (hash & (T-1), direct levels fit the table, + level*T), so XLA's
-    # OOB-clamp masks — measured 384 MB of padded pred[batch, L] temps per
-    # chunk in the memory profile — are pure waste.
-    flat = tables.reshape(L * T, F)
-    if getattr(cfg, "grad_impl", "scatter") == "sorted":
-        gather = _table_gather_sorted
+    # Per-AXIS (L, N) lattice coords: three separate component arrays
+    # instead of one (..., 3)-trailing tensor.
+    comp = []
+    for a in range(3):
+        pos = ns[:, None] * xs[:, a][None, :]         # (L, N)
+        i0 = jnp.clip(jnp.floor(pos), 0.0,
+                      ns[:, None] - 1.0).astype(jnp.int32)
+        comp.append((i0, pos - i0))
+    (ix, fx), (iy, fy), (iz, fz) = comp
+
+    # Gather impls (all promise_in_bounds — indices are in [0, L*T) by
+    # construction, and XLA's OOB-clamp masks measured 384 MB of padded
+    # pred temps per chunk before):
+    #   - bf16 F=2 (the speed path): ONE u32 packed gather per corner.
+    #   - otherwise: F element gathers per corner from 1D per-feature
+    #     columns (keeps the (L, N) layout at F gathers).
+    #   - grad_impl == "sorted": the segment-sum custom VJP, reused per
+    #     feature column ((M, 1)-shaped table). Measured SLOWER than the
+    #     scatter default (335 vs 556 rays/s) — kept as the A/B knob.
+    sorted_impl = getattr(cfg, "grad_impl", "scatter") == "sorted"
+    packed = F == 2 and tables.dtype == jnp.bfloat16 and not sorted_impl
+    if not packed:
+        cols = tuple(tables[..., f].reshape(L * T) for f in range(F))
+
+        def gather_1d(col, i):
+            if sorted_impl:
+                return _table_gather_sorted(col[:, None], i)[..., 0]
+            return col.at[i].get(mode="promise_in_bounds")
     else:
-        gather = lambda t, i: jnp.asarray(t).at[i].get(  # noqa: E731
-            mode="promise_in_bounds")
+        flat2 = tables.reshape(L * T, F)
 
-    enc = None
-    for bits in _CORNERS:
-        ic = i0 + jnp.asarray(bits, jnp.int32)        # (..., L, 3)
-        idx = _corner_indices_stacked(ic, resolutions, T)  # (..., L)
+    acc = [None] * F
+    for bx, by, bz in _CORNERS:
+        icx, icy, icz = ix + int(bx), iy + int(by), iz + int(bz)
+        d_idx = (icx * np1_j + icy) * np1_j + icz     # direct; < 2^31
+        h = ((icx.astype(jnp.uint32) * np.uint32(_PRIMES[0]))
+             ^ (icy.astype(jnp.uint32) * np.uint32(_PRIMES[1]))
+             ^ (icz.astype(jnp.uint32) * np.uint32(_PRIMES[2])))
+        idx = jnp.where(direct_mask, d_idx,
+                        (h & np.uint32(T - 1)).astype(jnp.int32)) + level_off
         # Trilinear weight: per axis, frac when the corner bit is set,
-        # (1 - frac) otherwise — three (..., L)-shaped multiplies.
-        w = ((frac[..., 0] if bits[0] else 1.0 - frac[..., 0])
-             * (frac[..., 1] if bits[1] else 1.0 - frac[..., 1])
-             * (frac[..., 2] if bits[2] else 1.0 - frac[..., 2]))
-        feats = gather(flat, idx)                     # (..., L, F)
-        term = feats * w[..., None].astype(feats.dtype)
-        enc = term if enc is None else enc + term
-    return enc.reshape(*points.shape[:-1], L * F)
+        # (1 - frac) otherwise — three (L, N) multiplies.
+        w = ((fx if bx else 1.0 - fx)
+             * (fy if by else 1.0 - fy)
+             * (fz if bz else 1.0 - fz))
+        if packed:
+            feats = _packed_pair_gather(flat2, idx)   # F x (L, N)
+        else:
+            feats = tuple(gather_1d(cols[f], idx) for f in range(F))
+        for f in range(F):
+            term = feats[f] * w.astype(feats[f].dtype)
+            acc[f] = term if acc[f] is None else acc[f] + term
+
+    # (F x (L, N)) -> (N, L, F) -> (*batch, L*F): ONE materialized
+    # feature buffer at the end; everything upstream stayed (L, N).
+    enc = jnp.stack(acc, axis=-1)                     # (L, N, F)
+    enc = jnp.moveaxis(enc, 1, 0)                     # (N, L, F)
+    return enc.reshape(*batch_shape, L * F)
 
 
 def _trunc_exp(x: jnp.ndarray) -> jnp.ndarray:

@@ -285,3 +285,35 @@ def test_sorted_table_gradient_matches_scatter():
     np.testing.assert_allclose(np.asarray(g_so["sigma0"]["kernel"]),
                                np.asarray(g_sc["sigma0"]["kernel"]),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_packed_pair_gather_matches_unpacked():
+    """The bf16 F=2 speed path (one u32 gather + bit unpack) returns the
+    SAME values as per-feature gathers, and its custom-VJP backward is the
+    standard scatter-add (parity vs autodiff of the unpacked form)."""
+    key = jax.random.key(3)
+    tables = jax.random.normal(key, (TINY.levels, 1 << TINY.table_log2, 2),
+                               jnp.float32)
+    pts = jax.random.uniform(jax.random.key(4), (257, 3),
+                             minval=-1.0, maxval=1.0)
+    enc_packed = hash_encode(tables.astype(jnp.bfloat16), pts, TINY)
+    # f32 tables force the per-feature path with identical values after a
+    # bf16 round-trip of the tables.
+    enc_cols = hash_encode(
+        tables.astype(jnp.bfloat16).astype(jnp.float32), pts, TINY)
+    np.testing.assert_allclose(np.asarray(enc_packed, np.float32),
+                               np.asarray(enc_cols, np.float32),
+                               atol=1e-2, rtol=1e-2)
+
+    def loss_packed(t):
+        return jnp.sum(hash_encode(t.astype(jnp.bfloat16), pts, TINY)
+                       .astype(jnp.float32) ** 2)
+
+    def loss_cols(t):
+        return jnp.sum(hash_encode(t, pts, TINY).astype(jnp.float32) ** 2)
+
+    g_packed = jax.grad(loss_packed)(tables)
+    g_cols = jax.grad(loss_cols)(tables)
+    # bf16 forward values + bf16 cotangent storage: compare loosely.
+    np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_cols),
+                               atol=0.15, rtol=0.1)
