@@ -267,25 +267,28 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     # Gather impls (all promise_in_bounds — indices are in [0, L*T) by
     # construction, and XLA's OOB-clamp masks measured 384 MB of padded
     # pred temps per chunk before):
-    #   - bf16 F=2 (the speed path): ONE u32 packed gather per corner.
-    #   - otherwise: F element gathers per corner from 1D per-feature
-    #     columns (keeps the (L, N) layout at F gathers).
-    #   - grad_impl == "sorted": the segment-sum custom VJP, reused per
-    #     feature column ((M, 1)-shaped table). Measured SLOWER than the
-    #     scatter default (335 vs 556 rays/s) — kept as the A/B knob.
+    #   - bf16 F=2 (the paper default / speed path): ONE u32 packed
+    #     gather per corner; outputs stay (L, N).
+    #   - otherwise: one F-wide ROW gather per corner — XLA row-gather
+    #     throughput is width-independent (~125 M rows/s for F=2..128,
+    #     tools/gather_study.py), which is exactly the wide-F preset's
+    #     lever; the (L, N, F) output pads on its minor F dim but is the
+    #     only such temp (one per corner, sequentially accumulated).
+    #   - grad_impl == "sorted": the segment-sum custom VJP on the same
+    #     row gather. Measured SLOWER than the scatter default (335 vs
+    #     556 rays/s) — kept as the A/B knob.
     sorted_impl = getattr(cfg, "grad_impl", "scatter") == "sorted"
     packed = F == 2 and tables.dtype == jnp.bfloat16 and not sorted_impl
+    flat = tables.reshape(L * T, F)
     if not packed:
-        cols = tuple(tables[..., f].reshape(L * T) for f in range(F))
+        if sorted_impl:
+            gather2d = _table_gather_sorted
+        else:
+            gather2d = lambda t, i: t.at[i].get(  # noqa: E731
+                mode="promise_in_bounds")
 
-        def gather_1d(col, i):
-            if sorted_impl:
-                return _table_gather_sorted(col[:, None], i)[..., 0]
-            return col.at[i].get(mode="promise_in_bounds")
-    else:
-        flat2 = tables.reshape(L * T, F)
-
-    acc = [None] * F
+    acc_pair = [None, None]
+    acc_lnf = None
     for bx, by, bz in _CORNERS:
         icx, icy, icz = ix + int(bx), iy + int(by), iz + int(bz)
         d_idx = (icx * np1_j + icy) * np1_j + icz     # direct; < 2^31
@@ -300,16 +303,19 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
              * (fy if by else 1.0 - fy)
              * (fz if bz else 1.0 - fz))
         if packed:
-            feats = _packed_pair_gather(flat2, idx)   # F x (L, N)
+            feats = _packed_pair_gather(flat, idx)    # 2 x (L, N)
+            for f in range(2):
+                term = feats[f] * w.astype(feats[f].dtype)
+                acc_pair[f] = (term if acc_pair[f] is None
+                               else acc_pair[f] + term)
         else:
-            feats = tuple(gather_1d(cols[f], idx) for f in range(F))
-        for f in range(F):
-            term = feats[f] * w.astype(feats[f].dtype)
-            acc[f] = term if acc[f] is None else acc[f] + term
+            feats = gather2d(flat, idx)               # (L, N, F)
+            term = feats * w[..., None].astype(feats.dtype)
+            acc_lnf = term if acc_lnf is None else acc_lnf + term
 
-    # (F x (L, N)) -> (N, L, F) -> (*batch, L*F): ONE materialized
-    # feature buffer at the end; everything upstream stayed (L, N).
-    enc = jnp.stack(acc, axis=-1)                     # (L, N, F)
+    # -> (N, L, F) -> (*batch, L*F): ONE materialized feature buffer at
+    # the end; everything upstream stayed (L, N)(, F).
+    enc = jnp.stack(acc_pair, axis=-1) if packed else acc_lnf  # (L, N, F)
     enc = jnp.moveaxis(enc, 1, 0)                     # (N, L, F)
     return enc.reshape(*batch_shape, L * F)
 
