@@ -402,6 +402,13 @@ def cmd_train(args) -> int:
         )
     else:
         impl = args.impl
+        if impl == "int8":
+            # Real-int8 forwards are non-differentiable through the int8
+            # values (only the absmax scales carry gradient) — a training
+            # run would move the loss while learning nothing. QAT is the
+            # trainable form of the same arithmetic.
+            sys.exit("error: --impl int8 is inference-only; train with "
+                     "--impl int8qat (same quantized values, STE gradients)")
         if impl == "pallas":
             from nerf_rs_tpu.ops.kernels.fused_mlp import supports_arch
 
@@ -464,7 +471,20 @@ def cmd_train(args) -> int:
                     "match the --model flag to the checkpoint or use a fresh "
                     "--checkpoint-dir.")
             have_info = load_model_config(Path(args.checkpoint_dir))
-            if have_info is not None and have_info != want_info:
+
+            def _structural(info):
+                # grad_impl is a training-implementation knob (which VJP
+                # computes the table gradient) — it does not shape the
+                # params, so a default flip must not strand existing
+                # checkpoint dirs.
+                if info is None or "hash" not in info:
+                    return info
+                info = json.loads(json.dumps(info))
+                info["hash"].pop("grad_impl", None)
+                return info
+
+            if (have_info is not None
+                    and _structural(have_info) != _structural(want_info)):
                 sys.exit(f"error: {args.checkpoint_dir}/model.json holds a "
                          f"different model config than the flags request.\n"
                          f"  checkpoint: {have_info}\n  requested:  {want_info}\n"
@@ -508,7 +528,13 @@ def cmd_train(args) -> int:
         # The teacher is always the canonical MLP — keep it on the user's
         # requested impl (e.g. the fused kernel) even when the student fell
         # back to XLA for a non-canonical arch, or is a hashgrid model.
-        teacher_cfg = cfg.render.replace(impl=args.impl, model="mlp")
+        # EXCEPT the quantized impls: --impl int8qat selects the STUDENT's
+        # fake-quant forward; the distill targets must come from the exact
+        # float teacher, or QAT optimizes toward a ~39 dB-corrupted
+        # reference and caps the very quality it exists to preserve.
+        teacher_impl = ("pallas" if args.impl in ("int8", "int8qat")
+                        else args.impl)
+        teacher_cfg = cfg.render.replace(impl=teacher_impl, model="mlp")
         dataset = DistillationDataset(teacher, cfg=teacher_cfg, seed=cfg.seed)
         print("no --data given: distilling from the pretrained lego networks")
 
@@ -670,7 +696,13 @@ def cmd_evaluate(args) -> int:
     # sidecar written by `train`.
     params, step = restore_params(ckpt)
     params = jax.device_put(params)
-    teacher_cfg = _impl_for_params(cfg, teacher)
+    # The PSNR reference must be the EXACT teacher: --impl int8 selects
+    # how the CHECKPOINT renders (judge a QAT student on the arithmetic
+    # it serves), not a corruption of the reference image.
+    teacher_cfg = cfg
+    if cfg.impl in ("int8", "int8qat"):
+        teacher_cfg = cfg.replace(impl="pallas")
+    teacher_cfg = _impl_for_params(teacher_cfg, teacher)
     if "shared" in params:
         from nerf_rs_tpu.io.checkpoint import hashgrid_render_config, load_model_config
 

@@ -244,7 +244,11 @@ def hash_encode(tables: jnp.ndarray, points: jnp.ndarray, cfg) -> jnp.ndarray:
     lo, hi = cfg.aabb
     batch_shape = points.shape[:-1]
     xs = (points.astype(jnp.float32).reshape(-1, 3) - lo) / (hi - lo)
-    xs = jnp.clip(xs, 0.0, 1.0)                       # (N, 3)
+    # nan_to_num BEFORE clip: every gather below promises in-bounds
+    # indices, and clip(NaN) = NaN would reach floor->int32 as an
+    # implementation-defined value. Non-finite points (degenerate rays)
+    # land in the border cell like any other out-of-box point.
+    xs = jnp.clip(jnp.nan_to_num(xs), 0.0, 1.0)       # (N, 3)
 
     ns = jnp.asarray(resolutions, jnp.float32)        # (L,) static values
     np1 = np.asarray(resolutions, np.int64) + 1

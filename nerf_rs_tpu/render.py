@@ -541,7 +541,10 @@ def render_image_aux(
 def _host_group(cfg: RenderConfig, chunk: int, n_total: int) -> int:
     """Rays per device-program execution (cfg.host_chunk_rays): 0 = auto
     (hashgrid family 65536, else unsplit), -1 = never split. Rounded down
-    to a ray_chunk multiple so _render_flat's chunking divides evenly."""
+    to a ray_chunk multiple so _render_flat's chunking divides evenly —
+    a program can never run FEWER than one ray_chunk, so a cap below
+    ray_chunk yields exactly one chunk per program (shrink ray_chunk too
+    if that is still past the per-program budget)."""
     hc = cfg.host_chunk_rays
     if hc == 0:
         hc = 65536 if cfg.model == "hashgrid" else 0
