@@ -246,14 +246,30 @@ def _acquire_tpu_lock():
     import fcntl
 
     path = os.environ.get("NERF_TPU_LOCK", "/tmp/nerf_tpu.lock")
-    wait_s = float(os.environ.get("NERF_BENCH_LOCK_WAIT", "2700"))
+    # Default dropped 2700 -> 600 s (round-3 post-mortem: the driver's
+    # patience ran out before the silent wait did, so the round ended with
+    # rc=124 and an EMPTY tail — no record at all). A bench that reports
+    # "lock busy" after 10 minutes beats one that says nothing for 45.
+    wait_s = float(os.environ.get("NERF_BENCH_LOCK_WAIT", "600"))
     f = open(path, "w")
     deadline = time.monotonic() + wait_s
+    announced = False
     while True:
         try:
             fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
             return f
         except OSError:
+            if not announced:
+                # Immediate heartbeat ON STDOUT: if the caller kills us
+                # mid-wait, the captured tail still carries a parseable
+                # record naming the cause (instead of round 3's empty
+                # tail). A later success record supersedes it — consumers
+                # read the LAST JSON line.
+                _print_error_record(
+                    f"waiting for TPU lock {path} (held by another client; "
+                    f"will wait up to {wait_s:.0f}s) — if this is the last "
+                    "record, the wait was killed from outside")
+                announced = True
             if time.monotonic() >= deadline:
                 f.close()
                 raise TimeoutError(

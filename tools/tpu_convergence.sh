@@ -38,6 +38,16 @@ echo "$(date +%FT%T) convergence run -> $OUT (chunk $CHUNK, max $MAX_STEPS, targ
 steps=0
 psnr="0"
 while [ "$steps" -lt "$MAX_STEPS" ]; do
+  # Round-end guard (round-3 post-mortem: a convergence chain held the TPU
+  # flock in back-to-back <=30-min chunks until the driver's end-of-round
+  # bench starved at rc=124). If /tmp/nerf_round_deadline (epoch seconds,
+  # written by tools/round_guard.sh) is in the past, stop cleanly —
+  # progress is checkpointed and a later run resumes.
+  if [ -f /tmp/nerf_round_deadline ] && \
+     [ "$(date +%s)" -ge "$(cat /tmp/nerf_round_deadline)" ]; then
+    echo "round deadline passed — stopping before the next chunk (resume later)" | tee -a "$LOG"
+    break
+  fi
   steps=$((steps + CHUNK))
   echo "=== train to step $steps ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
   $TPU timeout 1800 python -m nerf_rs_tpu train $TRAIN_ARGS \
