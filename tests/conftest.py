@@ -21,10 +21,32 @@ jax.config.update("jax_compilation_cache_dir",
                                  "/tmp/jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import json
+import pathlib
+
 import numpy as np
 import pytest
 
 from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
+
+# --- quick/slow test tiers (VERDICT r3 item 7) -------------------------
+# tests/slow_tests.json is a measured manifest (test id -> seconds, one
+# full-suite run with --durations); every test recorded at >= ~10 s gets
+# the `slow` marker automatically, so `pytest -m "not slow"` is a CI-style
+# quick pass (~147 tests) and the bare run stays the full suite. Renamed
+# tests simply drop out of the manifest (they run in both tiers) —
+# regenerate with:  pytest -q --durations=60  and rebuild the JSON.
+_SLOW_MANIFEST = pathlib.Path(__file__).parent / "slow_tests.json"
+try:
+    _SLOW = set(json.loads(_SLOW_MANIFEST.read_text()))
+except (OSError, ValueError):
+    _SLOW = set()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if f"tests/{item.fspath.basename}::{item.name}" in _SLOW:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")
