@@ -436,6 +436,7 @@ def cmd_train(args) -> int:
     mesh, state = create_sharded_train_state(jax.random.key(cfg.seed), cfg)
     print(f"mesh: {mesh}; devices: {jax.device_count()}")
 
+    resumed = False
     if args.checkpoint_dir:
         from nerf_rs_tpu.io.checkpoint import load_model_config, save_model_config
 
@@ -515,7 +516,44 @@ def cmd_train(args) -> int:
             # replicated sharding the fresh-start path uses.
             state = replicate(mesh, restore_checkpoint(ckpt, state))
             print(f"resumed from {ckpt} at step {int(state.step)}")
+            resumed = True
         save_model_config(Path(args.checkpoint_dir), want_info)
+
+    if getattr(args, "init_weights", None) and not resumed:
+        # Warm start from exported weights (reference .bin layout or .npz
+        # bundle): fine-tune a distilled student for a different serving
+        # regime (reduced samples, single-pass, QAT) without re-distilling
+        # from scratch. Fresh optimizer state + step 0 — this is a new run
+        # seeded with good params, not a resume.
+        from nerf_rs_tpu.models.mlp import arch_shapes
+        from nerf_rs_tpu.parallel.mesh import replicate
+
+        if args.model == "hashgrid":
+            sys.exit("error: --init-weights supports the MLP family only "
+                     "(hashgrid checkpoints resume via --checkpoint-dir)")
+        iw = Path(args.init_weights)
+        if iw.suffix == ".npz":
+            from nerf_rs_tpu.io.weights import load_bundle
+
+            bundle_params, _ = load_bundle(iw, device_put=False)
+            pc, pf = bundle_params["coarse"], bundle_params["fine"]
+        else:
+            from nerf_rs_tpu.io.weights import load_nerf_params
+
+            pc = load_nerf_params(iw / "coarse", device_put=False)
+            pf = load_nerf_params(iw / "fine", device_put=False)
+        want = arch_shapes(arch)
+        got = {name: tuple(lay["kernel"].shape)
+               for name, lay in pf.items()}
+        if got != want:
+            sys.exit(
+                f"error: --init-weights {iw} holds a different architecture "
+                f"than the requested flags ({arch}).\n"
+                f"  weights layers:   {sorted(got.items())}\n"
+                f"  requested layers: {sorted(want.items())}")
+        state = replicate(mesh, state._replace(
+            params={"coarse": pc, "fine": pf}))
+        print(f"initialized params from {iw} (fresh optimizer, step 0)")
 
     if args.data:
         from nerf_rs_tpu.data import BlenderDataset
@@ -683,25 +721,45 @@ def cmd_evaluate(args) -> int:
     from nerf_rs_tpu.io.checkpoint import latest_checkpoint, restore_params
     from nerf_rs_tpu.render import render_image
 
-    if args.checkpoint is None and args.checkpoint_dir is None:
-        sys.exit("error: pass --checkpoint or --checkpoint-dir")
+    if (args.checkpoint is None and args.checkpoint_dir is None
+            and getattr(args, "weights_dir", None) is None):
+        sys.exit("error: pass --checkpoint, --checkpoint-dir, or --weights-dir")
     teacher, camera, _ = _load_scene(args)
     cfg = _render_config(args)
-    ckpt = args.checkpoint or latest_checkpoint(args.checkpoint_dir)
-    if ckpt is None:
-        sys.exit("error: no checkpoint found (--checkpoint or --checkpoint-dir)")
-    # Template-free restore: the student's architecture (any ArchConfig
-    # member) is inferred from the checkpoint itself; a hashgrid family
-    # member carries its non-inferable hyper-parameters in the model.json
-    # sidecar written by `train`.
-    params, step = restore_params(ckpt)
-    params = jax.device_put(params)
+    if getattr(args, "weights_dir", None):
+        # Exported .bin weights (any ArchConfig member) — the portable
+        # artifact form, e.g. assets/trained/*.
+        from nerf_rs_tpu.io.weights import load_nerf_params
+
+        wd = Path(args.weights_dir)
+        params = jax.device_put({"coarse": load_nerf_params(wd / "coarse",
+                                                            device_put=False),
+                                 "fine": load_nerf_params(wd / "fine",
+                                                          device_put=False)})
+        step, ckpt = -1, wd
+    else:
+        ckpt = args.checkpoint or latest_checkpoint(args.checkpoint_dir)
+        if ckpt is None:
+            sys.exit("error: no checkpoint found (--checkpoint or --checkpoint-dir)")
+        # Template-free restore: the student's architecture (any ArchConfig
+        # member) is inferred from the checkpoint itself; a hashgrid family
+        # member carries its non-inferable hyper-parameters in the model.json
+        # sidecar written by `train`.
+        params, step = restore_params(ckpt)
+        params = jax.device_put(params)
     # The PSNR reference must be the EXACT teacher: --impl int8 selects
     # how the CHECKPOINT renders (judge a QAT student on the arithmetic
     # it serves), not a corruption of the reference image.
     teacher_cfg = cfg
     if cfg.impl in ("int8", "int8qat"):
         teacher_cfg = cfg.replace(impl="pallas")
+    if getattr(args, "ref_samples", None):
+        # Full-quality reference for a reduced-sample/single-pass config:
+        # the checkpoint renders at ITS sample counts, the teacher at the
+        # (typically 64+128) reference counts — the honest frontier metric
+        # (quality actually delivered vs quality users expect).
+        rc, rf = (int(v) for v in args.ref_samples.split(","))
+        teacher_cfg = teacher_cfg.replace(n_coarse=rc, n_fine=rf)
     teacher_cfg = _impl_for_params(teacher_cfg, teacher)
     if "shared" in params:
         from nerf_rs_tpu.io.checkpoint import hashgrid_render_config, load_model_config
@@ -980,6 +1038,15 @@ def main(argv=None) -> int:
     p.add_argument("--skip-at", type=int, default=4,
                    help="encoded input re-concatenated before "
                         "dense{skip_at+1} (reference: 4)")
+    p.add_argument("--init-weights",
+                   help="warm-start: initialize params from an exported "
+                        "weight dir (coarse/ + fine/ .bin, cli export) or "
+                        ".npz bundle of the SAME --width/--v-width/--depth/"
+                        "--skip-at arch — e.g. fine-tune a distilled "
+                        "student for a reduced-sample preset, or QAT "
+                        "(--impl int8qat) from its float checkpoint. "
+                        "Ignored when --checkpoint-dir already holds a "
+                        "checkpoint (resume wins). MLP family only")
     p.add_argument("--data", help="nerf_synthetic scene dir (default: distill)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-rays", type=int, default=4096)
@@ -1005,6 +1072,17 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", help="checkpoint path (default: latest in dir)")
     p.add_argument("--checkpoint-dir")
     p.add_argument("--size", type=int, default=64)
+    p.add_argument("--weights-dir",
+                   help="evaluate an exported weight dir (coarse/ + fine/ "
+                        ".bin) instead of a training checkpoint — e.g. the "
+                        "vendored assets/trained/* artifacts")
+    p.add_argument("--ref-samples", metavar="NC,NF",
+                   help="render the TEACHER reference at these sample "
+                        "counts instead of the checkpoint's --coarse-"
+                        "samples/--fine-samples — judges a reduced-sample "
+                        "or single-pass config against the full-quality "
+                        "teacher render (e.g. --coarse-samples 64 "
+                        "--fine-samples 0 --ref-samples 64,128)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("export", help="checkpoint -> reference .bin format")

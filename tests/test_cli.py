@@ -232,3 +232,51 @@ def test_cli_train_hashgrid_roundtrip(tmp_path, assets_dir, capsys):
     with pytest.raises(SystemExit):
         main(["export", "--checkpoint", str(latest_checkpoint(ck)),
               "-o", str(tmp_path / "exp")])
+
+
+def test_cli_train_init_weights_and_eval_weights_dir(tmp_path, assets_dir, capsys):
+    """Round-4 fine-tune surface: warm-start `train` from an exported .bin
+    weight dir (--init-weights) and judge an export directly against the
+    full-quality teacher reference (`evaluate --weights-dir --ref-samples`)
+    — the workflow that retargets a distilled student to a reduced-sample
+    or single-pass serving preset."""
+    ck = str(tmp_path / "ck")
+    exp = str(tmp_path / "exp")
+    base = ["--width", "64", "--v-width", "32", "--depth", "2",
+            "--skip-at", "1", "--batch-rays", "64",
+            "--coarse-samples", "4", "--fine-samples", "8",
+            "--ray-chunk", "64", "--impl", "xla", "--log-every", "1"]
+    assert main(["train", "--steps", "1", *base, "--checkpoint-dir", ck,
+                 "--checkpoint-every", "1"]) == 0
+    from nerf_rs_tpu.io.checkpoint import latest_checkpoint
+
+    assert main(["export", "--checkpoint", str(latest_checkpoint(ck)),
+                 "-o", exp]) == 0
+    capsys.readouterr()
+
+    # warm start in a different serving regime (single-pass, fresh opt)
+    assert main(["train", "--steps", "1", *base[:10],
+                 "--coarse-samples", "4", "--fine-samples", "0",
+                 "--ray-chunk", "64", "--impl", "xla", "--log-every", "1",
+                 "--init-weights", exp]) == 0
+    assert f"initialized params from {exp}" in capsys.readouterr().out
+
+    # arch-mismatch guard fails loudly, not silently
+    with pytest.raises(SystemExit):
+        main(["train", "--steps", "1", "--width", "32", "--v-width", "32",
+              "--depth", "2", "--skip-at", "1", "--batch-rays", "64",
+              "--coarse-samples", "4", "--fine-samples", "8",
+              "--ray-chunk", "64", "--impl", "xla",
+              "--init-weights", exp])
+
+    # resume wins over --init-weights when the dir already has a checkpoint
+    assert main(["train", "--steps", "2", *base, "--checkpoint-dir", ck,
+                 "--init-weights", exp]) == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "initialized params from" not in out
+
+    # evaluate the export directly: single-pass config vs full reference
+    assert main(["evaluate", "--weights-dir", exp, "--size", "8",
+                 "--coarse-samples", "4", "--fine-samples", "0",
+                 "--ref-samples", "4,8", "--impl", "xla"]) == 0
+    assert "PSNR vs teacher" in capsys.readouterr().out
