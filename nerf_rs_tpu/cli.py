@@ -573,8 +573,18 @@ def cmd_train(args) -> int:
         teacher_impl = ("pallas" if args.impl in ("int8", "int8qat")
                         else args.impl)
         teacher_cfg = cfg.render.replace(impl=teacher_impl, model="mlp")
+        if getattr(args, "teacher_samples", None):
+            # Full-quality targets for a reduced-sample/single-pass student:
+            # the student renders its training batches at ITS sample counts,
+            # the teacher at these (typically 64+128) — distill toward what
+            # users compare against, not a preset-degraded teacher.
+            tc, tf = (int(v) for v in args.teacher_samples.split(","))
+            teacher_cfg = teacher_cfg.replace(n_coarse=tc, n_fine=tf)
         dataset = DistillationDataset(teacher, cfg=teacher_cfg, seed=cfg.seed)
-        print("no --data given: distilling from the pretrained lego networks")
+        print("no --data given: distilling from the pretrained lego networks"
+              + (f" (teacher targets at {teacher_cfg.n_coarse}+"
+                 f"{teacher_cfg.n_fine} samples)"
+                 if getattr(args, "teacher_samples", None) else ""))
 
     # Preemption safety: SIGTERM/SIGINT request a graceful stop; the loop
     # finishes the in-flight step, checkpoints, and exits 0 so a restarted
@@ -1038,6 +1048,14 @@ def main(argv=None) -> int:
     p.add_argument("--skip-at", type=int, default=4,
                    help="encoded input re-concatenated before "
                         "dense{skip_at+1} (reference: 4)")
+    p.add_argument("--teacher-samples", metavar="NC,NF",
+                   help="distillation only: render the TEACHER targets at "
+                        "these sample counts instead of the student's "
+                        "--coarse-samples/--fine-samples — REQUIRED when "
+                        "retargeting a student to a reduced-sample or "
+                        "single-pass preset, or it distills toward a "
+                        "degraded teacher (e.g. --coarse-samples 64 "
+                        "--fine-samples 0 --teacher-samples 64,128)")
     p.add_argument("--init-weights",
                    help="warm-start: initialize params from an exported "
                         "weight dir (coarse/ + fine/ .bin, cli export) or "

@@ -280,3 +280,17 @@ def test_cli_train_init_weights_and_eval_weights_dir(tmp_path, assets_dir, capsy
                  "--coarse-samples", "4", "--fine-samples", "0",
                  "--ref-samples", "4,8", "--impl", "xla"]) == 0
     assert "PSNR vs teacher" in capsys.readouterr().out
+
+
+def test_cli_train_teacher_samples(tmp_path, assets_dir, capsys):
+    """`train --teacher-samples NC,NF` (distillation only): the TEACHER
+    renders targets at its own sample counts while the student trains at
+    the serving preset — without it, a single-pass student would distill
+    toward a teacher degraded to the student's own preset."""
+    assert main(["train", "--steps", "1", "--batch-rays", "64",
+                 "--width", "128", "--v-width", "64",
+                 "--coarse-samples", "4", "--fine-samples", "0",
+                 "--teacher-samples", "4,8", "--ray-chunk", "64",
+                 "--impl", "xla", "--log-every", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "teacher targets at 4+8 samples" in out
