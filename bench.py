@@ -662,6 +662,26 @@ def main() -> None:
         full = render_image(params_c, params_f, camera, size, size,
                             jax.random.fold_in(key, repeats - 1), full_cfg)
         result["full_psnr_db"] = _psnr_db(full, img)
+    if ((weights_env or ckpt_env)
+            and os.environ.get("NERF_BENCH_TEACHER_PSNR", "1") not in ("0", "false")):
+        # Trained-weights runs additionally report quality against the
+        # PRETRAINED teacher's full 64+128 exact render at the SAME
+        # resolution — the axis a reference user actually compares on
+        # (the reference's whole value is its pretrained quality,
+        # /root/reference/src/lib.rs:732-742). full_psnr_db above is
+        # self-referential (same weights, full samples); this one pins the
+        # trained artifact to the ground-truth field.
+        from nerf_rs_tpu.config import RenderConfig as _RC
+
+        teacher_cfg = _RC(n_coarse=64, n_fine=128, ray_chunk=cfg.ray_chunk,
+                          impl="pallas" if impl != "xla" else "xla",
+                          dtype=dtype)
+        teacher = render_image(load_nerf_params(assets / "coarse"),
+                               load_nerf_params(assets / "fine"),
+                               camera, size, size,
+                               jax.random.fold_in(key, repeats - 1),
+                               teacher_cfg)
+        result["teacher_psnr_db"] = _psnr_db(teacher, img)
     print(json.dumps(result))
 
 
