@@ -56,10 +56,22 @@ def _bench_train(cfg, repeats: int) -> None:
     )
 
     batch_rays = int(os.environ.get("NERF_BENCH_TRAIN_RAYS", "16384"))
+    arch_env = os.environ.get("NERF_BENCH_ARCH")
+    arch = None
+    if arch_env:
+        # Student-family train throughput (e.g. NERF_BENCH_ARCH=128,64):
+        # the work-reduction axis of the 1M-rays/s train target.
+        from nerf_rs_tpu.config import ArchConfig
+
+        dims = [int(v) for v in arch_env.split(",")]
+        dims += [256, 128, 8, 4][len(dims):]
+        arch = ArchConfig(width=dims[0], v_width=dims[1],
+                          depth=dims[2], skip_at=dims[3])
 
     def make_batch(batch_rays):
+        kw = {"arch": arch} if arch is not None else {}
         tcfg = TrainConfig(batch_rays=batch_rays,
-                           render=cfg.replace(ray_chunk=batch_rays))
+                           render=cfg.replace(ray_chunk=batch_rays), **kw)
         rng = np.random.default_rng(0)
         dirs = rng.normal(size=(batch_rays, 3)).astype(np.float32)
         dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -113,14 +125,21 @@ def _bench_train(cfg, repeats: int) -> None:
                   f"with {batch_rays}", file=sys.stderr)
             tcfg, batch = make_batch(batch_rays)
             mesh, state = create_sharded_train_state(jax.random.key(0), tcfg)
+    # Chain several steps per timed repeat with ONE readback at the end:
+    # per-step host syncs cost ~24 ms each through the tunnel (measured,
+    # tools/profile_dense.py) — ~15% noise on a 16K-ray step if timed
+    # individually. Steady-state chained steps are exactly what training
+    # wall-clock sees.
+    chain = int(os.environ.get("NERF_BENCH_TRAIN_CHAIN", "4"))
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        state, metrics = sharded_train_step(mesh, state, batch,
-                                            jax.random.fold_in(key, i), tcfg,
-                                            grid=grid)
+        for j in range(chain):
+            state, metrics = sharded_train_step(
+                mesh, state, batch, jax.random.fold_in(key, i * chain + j),
+                tcfg, grid=grid)
         np.asarray(metrics["loss"])
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / chain)
     rays_per_s = batch_rays / min(times)
     n_chips = jax.device_count()
     print(json.dumps({
