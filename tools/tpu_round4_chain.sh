@@ -92,8 +92,15 @@ if ! past_deadline; then
   fi
 fi
 
-# -- 5: train-mode bench at the sweep-chosen batch ------------------------
+# -- 5: train-mode benches: sweep-chosen batch; the student-family work-
+#       reduction axis; the single-pass student (production fine-tune cfg)
 bench_leg train_step_b"${TRAIN_RAYS:-32768}" \
   NERF_BENCH_MODE=train NERF_BENCH_TRAIN_RAYS="${TRAIN_RAYS:-32768}"
+bench_leg train_student_b"${TRAIN_RAYS:-32768}" \
+  NERF_BENCH_MODE=train NERF_BENCH_TRAIN_RAYS="${TRAIN_RAYS:-32768}" \
+  NERF_BENCH_ARCH=128,64
+bench_leg train_student_s64x0 \
+  NERF_BENCH_MODE=train NERF_BENCH_TRAIN_RAYS="${TRAIN_RAYS:-32768}" \
+  NERF_BENCH_ARCH=128,64 NERF_BENCH_SAMPLES=64,0
 
 say "round-4 chain done"
