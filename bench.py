@@ -228,6 +228,8 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
             suffix += f"+g{os.environ['NERF_HASH_GRAD']}"
     if os.environ.get("NERF_BENCH_CHECKPOINT"):
         suffix += "+checkpoint"
+    if os.environ.get("NERF_BENCH_CHUNK", "16384") != "16384":
+        suffix += f"+chunk{os.environ['NERF_BENCH_CHUNK']}"
     if mode == "train":
         return f"train rays/s (fwd+bwd+opt), {nc}+{nf} samples, {suffix}"
     return f"fwd render rays/s, lego {size}x{size} {nc}+{nf} samples, {suffix}"
@@ -408,7 +410,12 @@ def main() -> None:
         impl = "xla"
 
     nc, nf = _samples()
-    cfg = RenderConfig(n_coarse=nc, n_fine=nf, ray_chunk=16384, impl=impl,
+    # NERF_BENCH_CHUNK: rays per lax.map chunk. 16384 is the measured
+    # sweet spot at 64+128 (192 merged samples); reduced/single-pass
+    # presets fit 4x more rays per chunk and amortize per-chunk kernel
+    # overhead — an A/B axis for the s64x0 frontier.
+    chunk = int(os.environ.get("NERF_BENCH_CHUNK", "16384"))
+    cfg = RenderConfig(n_coarse=nc, n_fine=nf, ray_chunk=chunk, impl=impl,
                        dtype=dtype, sampling_impl=sampling)
     if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
         cfg = cfg.replace(accel_sample_aabb=True)
