@@ -8,7 +8,13 @@ headroom left. This sweeps the two knobs the kernel exposes
 at the production fine shape, timed with the in-loop scalar-readback
 method (the only honest one on the tunneled backend).
 
-Usage: python tools/mlp_tile_probe.py [fwd|bwd|all]
+Usage: python tools/mlp_tile_probe.py [fwd|bwd|all] [weights_dir] [S]
+
+weights_dir (default: the pretrained fine network) selects the arch —
+pass assets/trained/student128_30db/fine to probe the student-128
+kernel, whose measured rate (31.7 ms for 16384x64 ~ 10 TFLOP/s,
+tools/profile_sp.py 2026-08-20) is ~10x off the teacher kernel's
+98 TFLOP/s per-FLOP rate. S = samples/ray (default 192).
 """
 
 from __future__ import annotations
@@ -26,8 +32,7 @@ import numpy as np
 from nerf_rs_tpu.io.weights import find_lego_assets, load_nerf_params
 from nerf_rs_tpu.ops.kernels import fused_mlp as FM
 
-N, S = 16384, 192
-PARAM_FLOPS = 2 * 593_408  # teacher MAC count x2 per sample-eval
+N = 16384
 
 
 def device_time(fn, reps=8, repeats=3):
@@ -49,7 +54,14 @@ def device_time(fn, reps=8, repeats=3):
 def main():
     what = _sys.argv[1] if len(_sys.argv) > 1 else "all"
     a = find_lego_assets()
-    pf = load_nerf_params(a / "fine")
+    wdir = _sys.argv[2] if len(_sys.argv) > 2 else str(a / "fine")
+    S = int(_sys.argv[3]) if len(_sys.argv) > 3 else 192
+    pf = load_nerf_params(wdir)
+    n_params = sum(int(np.prod(l["kernel"].shape)) + l["bias"].shape[0]
+                   for l in jax.tree_util.tree_leaves(
+                       pf, is_leaf=lambda x: isinstance(x, dict) and "kernel" in x))
+    PARAM_FLOPS = 2 * n_params
+    print(f"arch from {wdir}: {n_params} params, {N}x{S} samples")
     dirs = jax.random.normal(jax.random.key(1), (N, 3))
     dirs = jax.device_put(dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True))
     t = jnp.linspace(2.0, 6.0, S)
@@ -79,6 +91,28 @@ def main():
                 except Exception as e:
                     print(f"  tile {tile:5d} il {il}: FAILED "
                           f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+    if what in ("fwd", "all"):
+        # XLA-oracle comparison at the same shape: if plain XLA beats the
+        # fused kernel for this arch, the kernel's tiling is wrong for it.
+        from nerf_rs_tpu.models.mlp import nerf_mlp
+
+        pf16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), pf)
+
+        def xla_fwd(z):
+            rgb, sig = nerf_mlp(pf16, (pts + z).astype(jnp.bfloat16),
+                                d3.astype(jnp.bfloat16))
+            return (jnp.sum(rgb.astype(jnp.float32))
+                    + jnp.sum(sig.astype(jnp.float32)))
+
+        try:
+            dt = device_time(xla_fwd)
+            print(f"  XLA oracle    : {dt*1e3:7.2f} ms  "
+                  f"{N*S/dt/1e6:7.1f} M samp/s  "
+                  f"{PARAM_FLOPS*N*S/dt/1e12:6.1f} TFLOP/s", flush=True)
+        except Exception as e:
+            print(f"  XLA oracle    : FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
 
     if what in ("bwd", "all"):
         _os.environ["NERF_FUSED_TILE"] = "1024"
