@@ -433,6 +433,22 @@ def cmd_train(args) -> int:
         if args.lr is not None:
             cfg = cfg.replace(lr_init=args.lr,
                               lr_final=min(cfg.lr_final, args.lr))
+    if getattr(args, "accel_probes", None) or getattr(args, "accel_aabb", False):
+        # Placement-aware training: render training batches with the SAME
+        # occupied-range sample placement the serving preset uses
+        # (accel_sample_aabb + per-ray probe refinement). Without this, a
+        # reduced-sample student fine-tunes its field against UNIFORM
+        # [near,far] placement and the serving-time probe-placed render
+        # evaluates a field optimized for different integration points —
+        # measured 2026-08-20: the uniform-placement single-pass fine-tune
+        # crawled (+0.14 dB/1000 steps). Needs the occupancy grid, i.e.
+        # --accel-every (the grid refreshes from the current student).
+        if not args.accel_every:
+            sys.exit("error: --accel-aabb/--accel-probes need --accel-every "
+                     "(the placement ranges come from the occupancy grid)")
+        cfg = cfg.replace(render=cfg.render.replace(
+            accel_sample_aabb=True,
+            accel_aabb_probes=int(getattr(args, "accel_probes", 0) or 0)))
     mesh, state = create_sharded_train_state(jax.random.key(cfg.seed), cfg)
     print(f"mesh: {mesh}; devices: {jax.device_count()}")
 
@@ -785,11 +801,27 @@ def cmd_evaluate(args) -> int:
         cfg = _impl_for_params(cfg, params)
         pc, pf = params["coarse"], params["fine"]
 
+    grid = None
+    if getattr(args, "accel_probes", 0):
+        # Judge the checkpoint under the SERVING preset's probe-refined
+        # sample placement (grid from the checkpoint's own field) against
+        # the exact teacher reference — the honest axis for reduced-sample
+        # or single-pass fine-tunes (the uniform-placement render
+        # understates what the serving config actually delivers).
+        from nerf_rs_tpu.accel import build_scene_grid
+
+        grid = build_scene_grid(pc, pf,
+                                resolution=getattr(args, "accel_res", 128))
+        cfg = cfg.replace(accel_sample_aabb=True, accel_compact="off",
+                          accel_aabb_probes=int(args.accel_probes),
+                          accel_range_stride=int(getattr(
+                              args, "accel_stride", 1) or 1))
     key = jax.random.key(args.seed)
     ref = np.asarray(render_image(teacher["coarse"], teacher["fine"], camera,
                                   args.size, args.size, key, teacher_cfg))
     img = np.asarray(render_image(pc, pf, camera,
-                                  args.size, args.size, key, cfg))
+                                  args.size, args.size, key, cfg,
+                                  grid=grid))
     mse = float(np.mean((img - ref) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-12))
     print(f"step {step}: {args.size}x{args.size} PSNR vs teacher "
@@ -1083,6 +1115,16 @@ def main(argv=None) -> int:
                    help="fraction of cells randomly re-opened at each grid "
                         "refresh, so regions the student wrongly zeroed "
                         "keep receiving gradient (0 = off)")
+    p.add_argument("--accel-aabb", action="store_true",
+                   help="placement-aware training: clamp each training "
+                        "ray's sample range to its occupied-AABB span "
+                        "(needs --accel-every) — match the serving "
+                        "preset's sample placement when fine-tuning for "
+                        "a reduced-sample/single-pass config")
+    p.add_argument("--accel-probes", type=int, default=0,
+                   help="with --accel-aabb semantics: refine each ray's "
+                        "range to its own occupied run via this many grid "
+                        "probes (serving presets use 128)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="checkpoint PSNR vs the pretrained teacher")
@@ -1101,6 +1143,17 @@ def main(argv=None) -> int:
                         "or single-pass config against the full-quality "
                         "teacher render (e.g. --coarse-samples 64 "
                         "--fine-samples 0 --ref-samples 64,128)")
+    p.add_argument("--accel-probes", type=int, default=0,
+                   help="render the CHECKPOINT under serving-preset probe "
+                        "placement (occupied-run refinement, grid built "
+                        "from the checkpoint's own field; serving uses "
+                        "128) instead of uniform [near,far] sampling")
+    p.add_argument("--accel-stride", type=int, default=4,
+                   help="with --accel-probes: probe a stride-subsampled "
+                        "ray grid, conservatively pooled (the serving "
+                        "preset's accel_range_stride)")
+    p.add_argument("--accel-res", type=int, default=128,
+                   help="with --accel-probes: occupancy grid resolution")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("export", help="checkpoint -> reference .bin format")
