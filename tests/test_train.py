@@ -222,3 +222,36 @@ def test_train_step_with_teacher_grid_learns(lego_params):
             first = float(metrics["loss"])
         assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss"]) < first, "accelerated training did not learn"
+
+
+def test_placement_aware_training_grads_flow(lego_params):
+    """Single-pass training under serving-preset sample placement
+    (accel_sample_aabb + per-ray probe refinement, cli train --accel-aabb
+    --accel-probes): samples land in each ray's occupied run, the loss is
+    finite, and gradients flow — the round-4 fine-tune recipe that fixes
+    the measured placement-mismatch crawl (docs/PERF.md)."""
+    from nerf_rs_tpu.accel import build_scene_grid
+    from nerf_rs_tpu.models.mlp import nerf_mlp
+
+    grid = build_scene_grid(
+        lego_params["coarse"], lego_params["fine"],
+        resolution=24, aabb=(-1.8, 1.8), sigma_threshold=0.1,
+        chunk=24 ** 3, mlp_fn=lambda p, x, d: nerf_mlp(p, x, d),
+    )
+    cfg = TINY.replace(render=TINY.render.replace(
+        n_fine=0, accel_sample_aabb=True, accel_aabb_probes=16,
+        accel_compact="none"))
+    state = create_train_state(jax.random.key(0), cfg)
+    batch = _batch(cfg.batch_rays)
+    loss, metrics = nerf_loss(state.params, batch, jax.random.key(1), cfg,
+                              grid=grid)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda p: nerf_loss(p, batch, jax.random.key(1), cfg,
+                                         grid=grid)[0])(state.params)
+    norms = [float(jnp.linalg.norm(g))
+             for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(n) for n in norms) and sum(norms) > 0.0
+    # The placement really is range-clamped: a repeat WITHOUT the grid
+    # must differ (uniform [near,far] placement integrates differently).
+    loss_u, _ = nerf_loss(state.params, batch, jax.random.key(1), cfg)
+    assert abs(float(loss) - float(loss_u)) > 0.0
