@@ -231,6 +231,15 @@ def render_rays(
                                             probes=cfg.accel_aabb_probes)
         else:
             t_lo, t_hi = ray_aabb_range(grid, origin, dirs, near, far)
+        # Placement is geometry (grid occupancy x ray), not a learnable
+        # quantity: the grid is a CONSTANT input rebuilt outside the step,
+        # so no parameter gradient flows through these ranges — but
+        # without the stop, placement-aware TRAINING (--accel-aabb)
+        # drags the whole probe/slab chain into the backward graph
+        # (vjps of clip/min/max/gather over P probes per ray) for grads
+        # that are identically zero.
+        t_lo = jax.lax.stop_gradient(t_lo)
+        t_hi = jax.lax.stop_gradient(t_hi)
         # Cap the integrator's far at one bin past the clamped range: the
         # reference's last delta (far - t_last) would otherwise hand the
         # tail sample a huge interval and overweight its alpha. [t_hi, far]
