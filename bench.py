@@ -198,22 +198,23 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
             accel_tag += f"+thr{os.environ['NERF_BENCH_ACCEL_THRESH']}"
         if os.environ.get("NERF_BENCH_ACCEL_SLACK"):
             accel_tag += f"+slack{os.environ['NERF_BENCH_ACCEL_SLACK']}"
+        probes = os.environ.get("NERF_BENCH_AABB_PROBES", "128")
         if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
             accel_tag += "+aabb"
-            if os.environ.get("NERF_BENCH_AABB_PROBES"):
-                accel_tag += f"+probes{os.environ['NERF_BENCH_AABB_PROBES']}"
-        elif os.environ.get("NERF_BENCH_AABB_PROBES"):
+            if probes not in ("0", ""):
+                accel_tag += f"+probes{probes}"
+        elif probes not in ("0", ""):
             # Probe-based ray culling WITHOUT placement change
             # (accel_compact=off): placement-exact, packing-only.
-            accel_tag += f"+probecull{os.environ['NERF_BENCH_AABB_PROBES']}"
-        if os.environ.get("NERF_BENCH_RANGE_STRIDE", "1") != "1":
-            accel_tag += f"+stride{os.environ['NERF_BENCH_RANGE_STRIDE']}"
+            accel_tag += f"+probecull{probes}"
+        if os.environ.get("NERF_BENCH_RANGE_STRIDE", "4") != "1":
+            accel_tag += f"+stride{os.environ.get('NERF_BENCH_RANGE_STRIDE', '4')}"
         # accel semantics changed 2026-08-18: the default is now mask-only
         # culling + ray-level packing (no per-sample compaction). Tag any
         # non-default combination so metric series don't alias ("off" =
         # no per-sample culling at all, packing/placement only).
-        if os.environ.get("NERF_ACCEL_COMPACT", "none") != "none":
-            accel_tag += f"+c{os.environ['NERF_ACCEL_COMPACT']}"
+        if os.environ.get("NERF_ACCEL_COMPACT", "off") != "none":
+            accel_tag += f"+c{os.environ.get('NERF_ACCEL_COMPACT', 'off')}"
         if os.environ.get("NERF_BENCH_CULL_RAYS", "1") in ("0", "false"):
             accel_tag += "+noraycull"
     suffix = (f"{impl}/{dtype}" + accel_tag
@@ -419,9 +420,17 @@ def main() -> None:
                        dtype=dtype, sampling_impl=sampling)
     if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
         cfg = cfg.replace(accel_sample_aabb=True)
-    if os.environ.get("NERF_BENCH_AABB_PROBES"):
+    # Probe culling defaults ON (128 probes, "0" disables): with the
+    # stride-4 + compact-off defaults below this makes a BARE
+    # `python bench.py` run the measured-best lossless accel config —
+    # round 3's off_probe_s4 headline (377 K vs 298 K exact, 87 dB,
+    # docs/PERF.md decision table) — instead of relying on callers to
+    # remember the winning knobs. The auto race still reports the exact
+    # path whenever culling loses (small frames).
+    if os.environ.get("NERF_BENCH_AABB_PROBES", "128") not in ("0", ""):
         cfg = cfg.replace(
-            accel_aabb_probes=int(os.environ["NERF_BENCH_AABB_PROBES"]))
+            accel_aabb_probes=int(os.environ.get("NERF_BENCH_AABB_PROBES",
+                                                 "128")))
     if "NERF_BENCH_ACCEL_T" in os.environ:
         cfg = cfg.replace(accel_t_threshold=float(os.environ["NERF_BENCH_ACCEL_T"]))
     if "NERF_BENCH_ACCEL_SLACK" in os.environ:
@@ -432,11 +441,11 @@ def main() -> None:
     # NERF_ACCEL_COMPACT=scatter|gather re-enables per-sample compaction;
     # NERF_BENCH_CULL_RAYS=0 disables the packing. A/B knobs, off-default.
     cfg = cfg.replace(
-        accel_compact=os.environ.get("NERF_ACCEL_COMPACT", "none"),
+        accel_compact=os.environ.get("NERF_ACCEL_COMPACT", "off"),
         accel_cull_rays=os.environ.get("NERF_BENCH_CULL_RAYS", "1")
         not in ("0", "false"),
         accel_range_stride=int(os.environ.get("NERF_BENCH_RANGE_STRIDE",
-                                              "1")),
+                                              "4")),
     )
     model_env = os.environ.get("NERF_BENCH_MODEL", "mlp")
     if model_env == "hashgrid":
