@@ -789,9 +789,18 @@ def fused_nerf_mlp(
     A/B knob for the same sweep.
     """
     interleave = os.environ.get("NERF_FUSED_INTERLEAVE", "0") == "1"
+    arch = infer_arch(params)
     tile_env = os.environ.get("NERF_FUSED_TILE")
     if tile_env:
         tile = int(tile_env)
+    elif tile == 1024 and arch[0] < 256:
+        # Measured default (v5e, 2026-08-20, tools/mlp_tile_probe.py): at
+        # trunk width 128 the per-grid-step cost is overhead-bound — tile
+        # 2048 runs the student 9 % faster (9.8 vs 10.1 ms at 16384x64)
+        # while the canonical 256-wide arch is within noise across tiles.
+        # VMEM: a 2048-wide bf16 tile holds ~(blob 0.4 MB + 3 bufs x
+        # 128 x 2048 x 2 B) ≈ 2 MB — comfortably inside the 128 MB VMEM.
+        tile = 2048
     op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only),
-                  interleave, infer_arch(params))
+                  interleave, arch)
     return op(params, points, viewdirs)
