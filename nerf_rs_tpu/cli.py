@@ -707,7 +707,13 @@ def cmd_train(args) -> int:
             if step >= cfg.n_steps or stop_requested["flag"]:
                 break
             if (args.accel_every and step >= args.accel_warmup
-                    and step % args.accel_every == 0):
+                    and (step % args.accel_every == 0
+                         # A RESUMED run must not train grid-less until the
+                         # next refresh boundary: with --accel-aabb that
+                         # silently reverts to uniform placement for up to
+                         # accel_every steps every chunk (chunked
+                         # convergence runs resume constantly).
+                         or (step == start_step and grid is None))):
                 grid, step_cfg = refresh_grid(step)
             state, metrics = sharded_train_step(
                 mesh, state, batch, jax.random.fold_in(key, step), step_cfg,
