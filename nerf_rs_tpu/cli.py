@@ -448,7 +448,8 @@ def cmd_train(args) -> int:
                      "(the placement ranges come from the occupancy grid)")
         cfg = cfg.replace(render=cfg.render.replace(
             accel_sample_aabb=True,
-            accel_aabb_probes=int(getattr(args, "accel_probes", 0) or 0)))
+            accel_aabb_probes=int(getattr(args, "accel_probes", 0) or 0),
+            accel_pad_probes=float(getattr(args, "accel_pad", 1.0) or 1.0)))
     mesh, state = create_sharded_train_state(jax.random.key(cfg.seed), cfg)
     print(f"mesh: {mesh}; devices: {jax.device_count()}")
 
@@ -1131,6 +1132,12 @@ def main(argv=None) -> int:
                    help="with --accel-aabb semantics: refine each ray's "
                         "range to its own occupied run via this many grid "
                         "probes (serving presets use 128)")
+    p.add_argument("--accel-pad", type=float, default=1.0,
+                   help="with --accel-probes: pad each training ray's "
+                        "range by this many probe intervals per side — "
+                        "serving pools ranges over stride blocks (wider), "
+                        "so ~4 keeps training placement matched to the "
+                        "stride-4 serving preset")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="checkpoint PSNR vs the pretrained teacher")

@@ -101,6 +101,16 @@ class RenderConfig:
     #                                  (accel.ray_occupied_range) — tighter
     #                                  than the box chord for grazing rays;
     #                                  this many grid lookups per ray.
+    accel_pad_probes: float = 1.0    # pad each probe-refined range by this
+    #                                  many probe intervals per side. Serving
+    #                                  image renders use stride-pooled ranges
+    #                                  (up to a block wider than the per-ray
+    #                                  run); placement-aware TRAINING batches
+    #                                  probe per ray (no image grid to pool),
+    #                                  so a larger pad here emulates the
+    #                                  pooling slack and keeps the training
+    #                                  sample distribution matched to
+    #                                  serving (train --accel-pad).
     accel_range_stride: int = 1      # >1 (with accel_aabb_probes): probe the
     #                                  occupied ranges on a stride-subsampled
     #                                  ray grid and conservatively expand

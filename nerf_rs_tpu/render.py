@@ -228,7 +228,8 @@ def render_rays(
             t_lo, t_hi = ray_ranges
         elif cfg.accel_aabb_probes > 0:
             t_lo, t_hi = ray_occupied_range(grid, origin, dirs, near, far,
-                                            probes=cfg.accel_aabb_probes)
+                                            probes=cfg.accel_aabb_probes,
+                                            pad_probes=cfg.accel_pad_probes)
         else:
             t_lo, t_hi = ray_aabb_range(grid, origin, dirs, near, far)
         # Placement is geometry (grid occupancy x ray), not a learnable
