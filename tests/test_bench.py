@@ -97,3 +97,28 @@ def test_bench_hashgrid_model_and_trained_checkpoint(tmp_path):
     assert "+hashgrid+checkpoint" in rec["metric"]
     assert "pallas" not in rec["metric"]
     assert rec["value"] > 0
+
+
+def test_bench_default_metric_is_headline_config(monkeypatch):
+    """The driver runs a BARE `python bench.py` at end of round; round 4
+    flipped the defaults so that run IS the measured-best lossless accel
+    config (probe culling 128, stride 4, compact off — the off_probe_s4
+    headline, docs/PERF.md). Pin the metric label so a default regression
+    cannot silently demote the headline series."""
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+
+        for var in ("NERF_BENCH_ACCEL", "NERF_BENCH_AABB_PROBES",
+                    "NERF_BENCH_RANGE_STRIDE", "NERF_ACCEL_COMPACT",
+                    "NERF_BENCH_MODE", "NERF_BENCH_SIZE",
+                    "NERF_BENCH_SAMPLES", "NERF_BENCH_ARCH"):
+            monkeypatch.delenv(var, raising=False)
+        name = bench._metric_name()
+        assert "+accel" in name
+        assert "+probecull128" in name
+        assert "+stride4" in name
+        assert "+coff" in name
+        assert "800x800 64+128" in name
+    finally:
+        sys.path.remove(str(REPO))
