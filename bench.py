@@ -142,13 +142,21 @@ def _bench_train(cfg, repeats: int) -> None:
         times.append((time.perf_counter() - t0) / chain)
     rays_per_s = batch_rays / min(times)
     n_chips = jax.device_count()
-    print(json.dumps({
-        "metric": f"{_metric_name(impl=cfg.impl, dtype=cfg.dtype, accel=grid is not None, sampling=cfg.sampling_impl)}, {n_chips} chip(s)",
+    # Chained-step timing measures something different from the historical
+    # per-step-synced series (the ~24 ms/step tunnel sync is amortized), so
+    # chain != 1 runs are tagged into their own metric series AND carry the
+    # chain length as a field — differently-measured runs must not alias.
+    chain_tag = f"+chain{chain}" if chain != 1 else ""
+    rec = {
+        "metric": f"{_metric_name(impl=cfg.impl, dtype=cfg.dtype, accel=grid is not None, sampling=cfg.sampling_impl)}{chain_tag}, {n_chips} chip(s)",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         # Train target: 1M rays/s/chip (fwd+bwd+opt; see module docstring).
         "vs_baseline": round(rays_per_s / (n_chips * 1_000_000.0), 4),
-    }))
+    }
+    if chain != 1:
+        rec["chain"] = chain
+    print(json.dumps(rec))
 
 
 def _samples() -> tuple:
@@ -329,24 +337,122 @@ def _backend_alive(timeout_s: float):
                     "(axon tunnel outage?)")
 
 
-def _arm_deadline() -> None:
+def _arm_deadline(spent: float = 0.0) -> None:
     """The tunneled backend can wedge MID-benchmark (after a healthy init):
     without a deadline the bench then never prints its JSON line at all.
-    A daemon timer emits an error record and hard-exits instead."""
+    A daemon timer emits an error record and hard-exits instead. ``spent``
+    (seconds already consumed, e.g. by frontier presets) counts against
+    the budget so total wall-clock stays within NERF_BENCH_DEADLINE."""
     import threading
 
     deadline = float(os.environ.get("NERF_BENCH_DEADLINE", "2400"))
     if deadline <= 0:
         return
+    remaining = max(deadline - spent, 60.0)
 
     def fire():
         _print_error_record(f"benchmark exceeded {deadline:.0f}s deadline "
                             "(backend wedged mid-run?)")
         os._exit(3)
 
-    t = threading.Timer(deadline, fire)
+    t = threading.Timer(remaining, fire)
     t.daemon = True
     t.start()
+
+
+# --- frontier presets -----------------------------------------------------
+# The bare driver invocation also emits the measured rays/s-vs-quality
+# frontier (docs/PERF.md round-4 decision table, vendored weights) as EXTRA
+# JSON lines BEFORE the lossless headline: consumers read the LAST line, so
+# the headline series is unchanged, while the driver-captured tail now
+# carries the frontier evidence too (VERDICT r4 item 2 — round 4's 1.22 M
+# rays/s point existed only in the builder's own sweep log).
+_FRONTIER_PRESETS = (
+    # Single-pass serving preset: fine-tuned student, 64+0 samples with
+    # probe-refined placement — 1.22 M rays/s @ 29.3 dB vs teacher (r4).
+    ("sp29_s64x0_probe", {
+        "NERF_BENCH_WEIGHTS": "assets/trained/student128_sp29",
+        "NERF_BENCH_SAMPLES": "64,0",
+        "NERF_BENCH_ACCEL": "1",
+        "NERF_BENCH_ACCEL_AABB": "1",
+    }),
+    # Distilled student at the full 64+128 headline config — 516 K rays/s
+    # @ 30.1 dB vs teacher (r4).
+    ("student30_800q", {
+        "NERF_BENCH_WEIGHTS": "assets/trained/student128_30db",
+    }),
+)
+
+
+def _frontier_presets_due() -> bool:
+    """Presets run only on the bare headline invocation (the driver's
+    end-of-round `python bench.py`): real TPU, render mode, no env
+    overrides that make this some other sweep leg. NERF_BENCH_EXTRA=0
+    opts out; CPU smokes must stay one-line (tests/test_bench.py)."""
+    if os.environ.get("NERF_BENCH_EXTRA", "1") in ("0", "false"):
+        return False
+    plat = os.environ.get("NERF_BENCH_PLATFORM", "")
+    if plat and "tpu" not in plat and "axon" not in plat:
+        return False
+    overrides = ("NERF_BENCH_MODE", "NERF_BENCH_SIZE", "NERF_BENCH_SAMPLES",
+                 "NERF_BENCH_WEIGHTS", "NERF_BENCH_CHECKPOINT",
+                 "NERF_BENCH_ARCH", "NERF_BENCH_MODEL", "NERF_BENCH_IMPL",
+                 "NERF_BENCH_DTYPE", "NERF_BENCH_CHUNK")
+    return not any(os.environ.get(v) for v in overrides)
+
+
+def _run_frontier_presets(t0: float) -> None:
+    """Run each preset as a SUBPROCESS (fresh env-derived config, and the
+    parent has not created its TPU client yet — the tunneled chip tolerates
+    exactly one client at a time, so children run strictly before the
+    parent's backend init) and re-emit its last JSON record tagged with the
+    preset name. A preset failure never harms the headline leg."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    deadline = float(os.environ.get("NERF_BENCH_DEADLINE", "2400"))
+    reserve = 900.0   # wall-clock kept for the headline leg
+    for name, env_over in _FRONTIER_PRESETS:
+        remaining = ((deadline - (time.monotonic() - t0))
+                     if deadline > 0 else 1e9)
+        budget = min(700.0, remaining - reserve)
+        if budget < 240.0:
+            print(f"frontier preset {name}: skipped "
+                  f"({remaining:.0f}s left, reserved for the headline leg)",
+                  file=sys.stderr, flush=True)
+            continue
+        env = dict(os.environ)
+        env.update(env_over)
+        if "NERF_BENCH_WEIGHTS" in env_over:
+            env["NERF_BENCH_WEIGHTS"] = os.path.join(
+                repo, env_over["NERF_BENCH_WEIGHTS"])
+        env.update({
+            "NERF_BENCH_NO_LOCK": "1",       # parent holds the TPU lock
+            "NERF_BENCH_EXTRA": "0",         # no recursion
+            "NERF_BENCH_DEADLINE": str(int(budget)),
+            "NERF_BENCH_INIT_TIMEOUT": "180",
+        })
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 cwd=repo, env=env, capture_output=True,
+                                 text=True, timeout=budget + 120)
+        except subprocess.TimeoutExpired:
+            print(f"frontier preset {name}: timed out after {budget:.0f}s",
+                  file=sys.stderr, flush=True)
+            continue
+        rec = None
+        for line in out.stdout.splitlines():
+            if line.strip().startswith("{"):
+                try:
+                    rec = json.loads(line)   # last JSON line wins
+                except ValueError:
+                    pass
+        if rec is None:
+            print(f"frontier preset {name}: no record (rc={out.returncode}) "
+                  f"{out.stderr[-300:]}", file=sys.stderr, flush=True)
+            continue
+        rec["preset"] = name
+        print(json.dumps(rec), flush=True)
 
 
 def main() -> None:
@@ -374,17 +480,21 @@ def main() -> None:
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    t0 = time.monotonic()
     try:
         _tpu_lock = _acquire_tpu_lock()  # noqa: F841 — held until exit
     except TimeoutError as e:
         _print_error_record(str(e))
         return
+    if _frontier_presets_due():
+        # BEFORE the parent's own backend init: one TPU client at a time.
+        _run_frontier_presets(t0)
     init_timeout = float(os.environ.get("NERF_BENCH_INIT_TIMEOUT", "300"))
     init_error = _backend_alive(init_timeout)
     if init_error is not None:
         _print_error_record(init_error)
         return
-    _arm_deadline()
+    _arm_deadline(spent=time.monotonic() - t0)
 
     from nerf_rs_tpu.config import RenderConfig
     from nerf_rs_tpu.io.golden import camera_from_golden, load_golden
@@ -708,15 +818,28 @@ def main() -> None:
         # trained artifact to the ground-truth field.
         from nerf_rs_tpu.config import RenderConfig as _RC
 
-        teacher_cfg = _RC(n_coarse=64, n_fine=128, ray_chunk=cfg.ray_chunk,
-                          impl="pallas" if impl != "xla" else "xla",
-                          dtype=dtype)
-        teacher = render_image(load_nerf_params(assets / "coarse"),
-                               load_nerf_params(assets / "fine"),
-                               camera, size, size,
-                               jax.random.fold_in(key, repeats - 1),
-                               teacher_cfg)
-        result["teacher_psnr_db"] = _psnr_db(teacher, img)
+        # Clamp the teacher render's chunk: single-pass presets bench with
+        # NERF_BENCH_CHUNK up to 65536, but the TEACHER renders at full
+        # 64+128 (192 merged samples), where 16384 rays/chunk is already
+        # near the HBM budget — an unclamped chunk can OOM and kill the
+        # whole run in exactly the configs this axis targets. And never
+        # let a teacher-reference failure void the measured record: emit
+        # without teacher_psnr_db instead.
+        try:
+            teacher_cfg = _RC(n_coarse=64, n_fine=128,
+                              ray_chunk=min(cfg.ray_chunk, 16384),
+                              impl="pallas" if impl != "xla" else "xla",
+                              dtype=dtype)
+            teacher = render_image(load_nerf_params(assets / "coarse"),
+                                   load_nerf_params(assets / "fine"),
+                                   camera, size, size,
+                                   jax.random.fold_in(key, repeats - 1),
+                                   teacher_cfg)
+            result["teacher_psnr_db"] = _psnr_db(teacher, img)
+        except Exception as e:
+            result["note"] = (result.get("note", "") +
+                              f" teacher_psnr_db failed: "
+                              f"{type(e).__name__}: {str(e)[:200]}").strip()
     print(json.dumps(result))
 
 

@@ -560,14 +560,18 @@ def cmd_train(args) -> int:
             pc = load_nerf_params(iw / "coarse", device_put=False)
             pf = load_nerf_params(iw / "fine", device_put=False)
         want = arch_shapes(arch)
-        got = {name: tuple(lay["kernel"].shape)
-               for name, lay in pf.items()}
-        if got != want:
-            sys.exit(
-                f"error: --init-weights {iw} holds a different architecture "
-                f"than the requested flags ({arch}).\n"
-                f"  weights layers:   {sorted(got.items())}\n"
-                f"  requested layers: {sorted(want.items())}")
+        # Validate BOTH networks: a truncated/mismatched export whose
+        # coarse/ differs would otherwise pass here and die later with an
+        # opaque optimizer pytree-shape error.
+        for net, loaded_p in (("fine", pf), ("coarse", pc)):
+            got = {name: tuple(lay["kernel"].shape)
+                   for name, lay in loaded_p.items()}
+            if got != want:
+                sys.exit(
+                    f"error: --init-weights {iw} {net}/ holds a different "
+                    f"architecture than the requested flags ({arch}).\n"
+                    f"  weights layers:   {sorted(got.items())}\n"
+                    f"  requested layers: {sorted(want.items())}")
         state = replicate(mesh, state._replace(
             params={"coarse": pc, "fine": pf}))
         print(f"initialized params from {iw} (fresh optimizer, step 0)")
@@ -815,10 +819,16 @@ def cmd_evaluate(args) -> int:
         # the exact teacher reference — the honest axis for reduced-sample
         # or single-pass fine-tunes (the uniform-placement render
         # understates what the serving config actually delivers).
-        from nerf_rs_tpu.accel import build_scene_grid
+        from nerf_rs_tpu.accel import build_scene_grid, hashgrid_grid_kwargs
 
+        # Hashgrid checkpoints need the family-aware sweep function + aabb
+        # (the default grid sweep assumes MLP params — train/bench thread
+        # the same kwargs).
+        grid_build_kw = (hashgrid_grid_kwargs(cfg)
+                         if "shared" in params else {})
         grid = build_scene_grid(pc, pf,
-                                resolution=getattr(args, "accel_res", 128))
+                                resolution=getattr(args, "accel_res", 128),
+                                **grid_build_kw)
         cfg = cfg.replace(accel_sample_aabb=True, accel_compact="off",
                           accel_aabb_probes=int(args.accel_probes),
                           accel_range_stride=int(getattr(

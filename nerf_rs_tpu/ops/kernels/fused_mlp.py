@@ -211,6 +211,38 @@ def _row_selectors(shape):
     return ident, is_sin
 
 
+def _encode_raw_vpu(x):
+    """The encode projection WITHOUT the MXU: raw[r, :] = 2^band(r) *
+    x[axis(r), :], built from sublane broadcasts + selects + one multiply.
+
+    Numerically IDENTICAL to the (128, 8) f32-HIGHEST matmul it replaces:
+    every G row has exactly ONE nonzero entry (a power of two), so the
+    matmul computes a single exact product per row — as does this. The
+    point is MXU time: f32 HIGHEST runs the MXU in multi-pass mode, and
+    the K=8 shape keeps the systolic array nearly empty; the VPU does the
+    same work in ~a dozen vector ops off the matmul critical path
+    ($NERF_FUSED_ENC=vpu, A/B measured on v5e)."""
+    f32 = jnp.float32
+    shape = (LANES, x.shape[1])
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    # Band index k (scale = 2^k): identity rows clamp to k=0 -> scale 1.
+    k = jnp.maximum(jnp.where(r < _DOFF, r - 3, r - (_DOFF + 3)) // 6, 0)
+    # Exact 2^k: bitcast (127+k) << 23 — exp2/pow are polynomial approx
+    # and must not perturb the encode (the matmul path is exact).
+    scale = jax.lax.bitcast_convert_type(
+        ((k + 127) << 23).astype(jnp.int32), f32)
+    # Source coordinate index 0..5 (px py pz dx dy dz).
+    axis = jnp.where(
+        r < _DOFF,
+        jnp.where(r < 3, r, (r - 3) % 3),
+        jnp.where(r < _DOFF + 3, r - _DOFF + 3, (r - (_DOFF + 3)) % 3 + 3))
+    val = jnp.broadcast_to(x[0:1, :], shape).astype(f32)
+    for c in range(1, 6):
+        val = jnp.where(axis == c,
+                        jnp.broadcast_to(x[c:c + 1, :], shape), val)
+    return scale * val
+
+
 def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack the param pytree into (blob (rows, lanes) dtype, aux f32).
 
@@ -764,7 +796,7 @@ def fused_nerf_mlp(
     x_freqs: int = 10,
     d_freqs: int = 4,
     dtype: str = "float32",
-    tile: int = 1024,
+    tile: int | None = None,
     sigma_only: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for models.mlp.nerf_mlp.
@@ -793,7 +825,7 @@ def fused_nerf_mlp(
     tile_env = os.environ.get("NERF_FUSED_TILE")
     if tile_env:
         tile = int(tile_env)
-    elif tile == 1024 and arch[0] < 256:
+    elif tile is None and arch[0] < 256:
         # Measured default (v5e, 2026-08-20, tools/mlp_tile_probe.py): at
         # trunk width 128 the per-grid-step cost is overhead-bound — tile
         # 2048 runs the student 9 % faster (9.8 vs 10.1 ms at 16384x64)
@@ -801,6 +833,8 @@ def fused_nerf_mlp(
         # VMEM: a 2048-wide bf16 tile holds ~(blob 0.4 MB + 3 bufs x
         # 128 x 2048 x 2 B) ≈ 2 MB — comfortably inside the 128 MB VMEM.
         tile = 2048
+    elif tile is None:
+        tile = 1024
     op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only),
                   interleave, arch)
     return op(params, points, viewdirs)

@@ -99,6 +99,40 @@ def test_bench_hashgrid_model_and_trained_checkpoint(tmp_path):
     assert rec["value"] > 0
 
 
+def test_frontier_presets_gating(monkeypatch):
+    """Frontier records are emitted ONLY on the bare TPU headline run:
+    CPU smokes, sweep legs (any env override), and NERF_BENCH_EXTRA=0 must
+    stay one-line (the `len(lines) == 1` contract above depends on it)."""
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+
+        for var in ("NERF_BENCH_PLATFORM", "NERF_BENCH_EXTRA",
+                    "NERF_BENCH_MODE", "NERF_BENCH_SIZE",
+                    "NERF_BENCH_SAMPLES", "NERF_BENCH_WEIGHTS",
+                    "NERF_BENCH_CHECKPOINT", "NERF_BENCH_ARCH",
+                    "NERF_BENCH_MODEL", "NERF_BENCH_IMPL",
+                    "NERF_BENCH_DTYPE", "NERF_BENCH_CHUNK"):
+            monkeypatch.delenv(var, raising=False)
+        assert bench._frontier_presets_due()                    # bare run
+        monkeypatch.setenv("NERF_BENCH_PLATFORM", "cpu")        # smoke
+        assert not bench._frontier_presets_due()
+        monkeypatch.delenv("NERF_BENCH_PLATFORM")
+        monkeypatch.setenv("NERF_BENCH_WEIGHTS", "/tmp/w")      # sweep leg
+        assert not bench._frontier_presets_due()
+        monkeypatch.delenv("NERF_BENCH_WEIGHTS")
+        monkeypatch.setenv("NERF_BENCH_EXTRA", "0")             # opt-out
+        assert not bench._frontier_presets_due()
+        # Preset weight dirs must exist (vendored assets) — a rename would
+        # otherwise silently emit error records at round end.
+        for _name, env_over in bench._FRONTIER_PRESETS:
+            w = env_over.get("NERF_BENCH_WEIGHTS")
+            if w:
+                assert (REPO / w).is_dir(), w
+    finally:
+        sys.path.remove(str(REPO))
+
+
 def test_bench_default_metric_is_headline_config(monkeypatch):
     """The driver runs a BARE `python bench.py` at end of round; round 4
     flipped the defaults so that run IS the measured-best lossless accel
