@@ -375,6 +375,9 @@ _FRONTIER_PRESETS = (
         "NERF_BENCH_SAMPLES": "64,0",
         "NERF_BENCH_ACCEL": "1",
         "NERF_BENCH_ACCEL_AABB": "1",
+        # Sub-second single-pass frames see ~2x tunnel-scheduling noise
+        # (measured r5); min-of-8 recovers the config's true rate.
+        "NERF_BENCH_REPEATS": "8",
     }),
     # Distilled student at the full 64+128 headline config — 516 K rays/s
     # @ 30.1 dB vs teacher (r4).

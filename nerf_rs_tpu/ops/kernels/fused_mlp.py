@@ -211,7 +211,27 @@ def _row_selectors(shape):
     return ident, is_sin
 
 
-def _encode_raw_vpu(x):
+# Odd minimax polynomial for sin(2*pi*u), u in [-0.5, 0.5] (period-1
+# "turns" argument): max abs error 1.7e-5 — two decades below bf16 output
+# rounding (~4e-3). Fitted by least squares on a dense grid (degree 9).
+_SINPOLY = (6.283088463027395, -41.33324754221887, 81.40008976706686,
+            -74.67588386951022, 33.16809461334938)
+_INV_2PI = float(1.0 / (2.0 * np.pi))
+
+
+def _sinpoly_turns(u):
+    """sin(2*pi*u) for arbitrary u (one round() range reduction + degree-9
+    odd Horner — ~9 VPU ops vs the ~10 ms/tile libm sin pass it replaces,
+    measured v5e 2026-08-20: transcendentals were 28% of the kernel)."""
+    u = u - jnp.round(u)
+    u2 = u * u
+    p = jnp.float32(_SINPOLY[4])
+    for c in (_SINPOLY[3], _SINPOLY[2], _SINPOLY[1], _SINPOLY[0]):
+        p = p * u2 + jnp.float32(c)
+    return p * u
+
+
+def _encode_raw_vpu(x, turns=False):
     """The encode projection WITHOUT the MXU: raw[r, :] = 2^band(r) *
     x[axis(r), :], built from sublane broadcasts + selects + one multiply.
 
@@ -231,6 +251,13 @@ def _encode_raw_vpu(x):
     # and must not perturb the encode (the matmul path is exact).
     scale = jax.lax.bitcast_convert_type(
         ((k + 127) << 23).astype(jnp.int32), f32)
+    if turns:
+        # Trig rows carry 2^k/(2*pi) * coord (the period-1 argument
+        # _sinpoly_turns wants); identity rows keep the plain coordinate.
+        # The 1/(2*pi) fold costs one f32 rounding (~1e-7 relative) —
+        # invisible under bf16, so the poly-trig path is bf16-mode-only.
+        ident = (r < 3) | ((r >= _DOFF) & (r < _DOFF + 3))
+        scale = jnp.where(ident, scale, scale * jnp.float32(_INV_2PI))
     # Source coordinate index 0..5 (px py pz dx dy dz).
     axis = jnp.where(
         r < _DOFF,
@@ -316,8 +343,8 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return blob, aux
 
 
-def _kernel_body(L, cdt, sigma_only, fast_cos, interleave,
-                 x_ref, blob_ref, aux_ref, out_ref, ws, wa, sems):
+def _kernel_body(L, cdt, sigma_only, fast_cos, interleave, enc_vpu, epi_bf16,
+                 trig_poly, x_ref, blob_ref, aux_ref, out_ref, ws, wa, sems):
     @pl.when(pl.program_id(0) == 0)
     def _():
         cp_w = pltpu.make_async_copy(blob_ref, ws, sems.at[0])
@@ -327,28 +354,53 @@ def _kernel_body(L, cdt, sigma_only, fast_cos, interleave,
         cp_w.wait()
         cp_a.wait()
 
+    kw = dict(enc_vpu=enc_vpu, epi_bf16=epi_bf16, trig_poly=trig_poly)
     if interleave:
         # Two independent half-tile chains: gives Mosaic's scheduler
         # MXU-independent VPU work (encode/epilogues of one half can
         # overlap matmuls of the other).
         t = x_ref.shape[1] // 2
         out_ref[:, 0:t] = _mlp_chain(L, cdt, sigma_only, fast_cos,
-                                     x_ref[:, 0:t], ws, wa)
+                                     x_ref[:, 0:t], ws, wa, **kw)
         out_ref[:, t:2 * t] = _mlp_chain(L, cdt, sigma_only, fast_cos,
-                                         x_ref[:, t:2 * t], ws, wa)
+                                         x_ref[:, t:2 * t], ws, wa, **kw)
     else:
-        out_ref[:] = _mlp_chain(L, cdt, sigma_only, fast_cos, x_ref[:], ws, wa)
+        out_ref[:] = _mlp_chain(L, cdt, sigma_only, fast_cos, x_ref[:],
+                                ws, wa, **kw)
 
 
-def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa):
+def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa,
+               enc_vpu=False, epi_bf16=False, trig_poly=False):
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST
     prec = hi if cdt == f32 else None
-    g = wa[0:LANES, 0:8]                             # (128, 8) f32
-    raw = jnp.dot(g, x, preferred_element_type=f32, precision=hi)  # (128, T)
+    # Layer epilogues in the compute dtype ($NERF_FUSED_EPI=bf16): the MXU
+    # emits cdt directly (accumulation is f32 inside the MXU either way),
+    # bias-add/relu run as bf16 vector ops and the per-layer f32->bf16
+    # cast pass disappears — halves the VPU work between dependent
+    # matmuls. f32 (oracle-parity) mode keeps full-precision epilogues.
+    # (Measured 2026-08-20: Mosaic's tpu.matmul REJECTS a bf16 accumulator
+    # — the knob stays for a future toolchain, current default f32.)
+    epi_bf16 = epi_bf16 and cdt != f32
+    acc_dt = cdt if epi_bf16 else f32
+    trig_poly = trig_poly and cdt != f32             # bf16 fast path only
+    if enc_vpu:
+        raw = _encode_raw_vpu(x, turns=trig_poly)    # (128, T) f32, exact
+    else:
+        g = wa[0:LANES, 0:8]                         # (128, 8) f32
+        raw = jnp.dot(g, x, preferred_element_type=f32, precision=hi)
 
     ident, is_sin = _row_selectors(raw.shape)
-    if fast_cos:
+    if trig_poly:
+        # Period-1 polynomial trig ($NERF_FUSED_TRIG=poly): raw's trig rows
+        # are in TURNS (encode folded 1/(2*pi)); cos rows add 0.25 turns.
+        # Max poly error 1.7e-5 vs bf16 output rounding ~4e-3. Measured
+        # v5e: the libm sin pass was ~28% of the whole kernel. (All 128
+        # rows — a rows-0:96 slice+concat variant that skips the padding
+        # rows SIGABRTs the Mosaic compiler, probed 2026-08-20.)
+        u = raw + jnp.where(is_sin, 0.0, jnp.float32(0.25))
+        enc = jnp.where(ident, raw, _sinpoly_turns(u)).astype(cdt)
+    elif fast_cos:
         # cos(x) = sin(x + pi/2): one transcendental pass. Arg error from
         # the f32 phase add is ~1e-4 at |x|<=2048 — far below bf16 noise.
         tr = jnp.sin(raw + jnp.where(is_sin, 0.0, np.float32(np.pi / 2)))
@@ -357,21 +409,24 @@ def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa):
         tr = jnp.where(is_sin, jnp.sin(raw), jnp.cos(raw))
         enc = jnp.where(ident, raw, tr).astype(cdt)
 
-    def lay(name, h, bias_col, relu=True):
+    def lay(name, h, bias_col, relu=True, out_f32=False):
         off, rows, klanes = L.slots[name]
+        pet = f32 if out_f32 else acc_dt
         acc = jnp.dot(ws[off:off + rows, 0:klanes], h,
-                      preferred_element_type=f32, precision=prec)
-        acc = acc + wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
+                      preferred_element_type=pet, precision=prec)
+        b = wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
+        acc = acc + b.astype(pet)
         return jnp.maximum(acc, 0.0) if relu else acc
 
     def lay2(na, ha, nb, hb, bias_col, relu=True):
         offa, rows, ka = L.slots[na]
         offb, _, kb = L.slots[nb]
         acc = jnp.dot(ws[offa:offa + rows, 0:ka], ha,
-                      preferred_element_type=f32, precision=prec)
+                      preferred_element_type=acc_dt, precision=prec)
         acc = acc + jnp.dot(ws[offb:offb + rows, 0:kb], hb,
-                            preferred_element_type=f32, precision=prec)
-        acc = acc + wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
+                            preferred_element_type=acc_dt, precision=prec)
+        b = wa[_AUX_B_OFF:_AUX_B_OFF + rows, bias_col:bias_col + 1]
+        acc = acc + b.astype(acc_dt)
         return jnp.maximum(acc, 0.0) if relu else acc
 
     h = lay("w0t", enc, 0).astype(cdt)
@@ -381,7 +436,8 @@ def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa):
         else:
             h = lay(f"w{i}t", h, i).astype(cdt)
 
-    sig8 = lay("wst", h, L.b_sigma)[0:8]            # (8, T), row 3 = sigma
+    # Heads stay f32 (the (8, T) output stripe is f32 either way).
+    sig8 = lay("wst", h, L.b_sigma, out_f32=True)[0:8]  # row 3 = sigma
     row = jax.lax.broadcasted_iota(jnp.int32, sig8.shape, 0)
 
     if sigma_only:
@@ -389,11 +445,12 @@ def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa):
 
     bneck = lay("wbt", h, L.b_bneck, relu=False).astype(cdt)
     hv = lay2("wvat", bneck, "wvbt", enc, L.b_view).astype(cdt)
-    rgb8 = jax.nn.sigmoid(lay("wrt", hv, L.b_rgb, relu=False)[0:8])  # rows 0:2
+    rgb8 = jax.nn.sigmoid(
+        lay("wrt", hv, L.b_rgb, relu=False, out_f32=True)[0:8])  # rows 0:2
     return jnp.where(row == 3, sig8, jnp.where(row < 3, rgb8, 0.0))
 
 
-def _kernel_bwd(L, cdt, fast_cos,
+def _kernel_bwd(L, cdt, fast_cos, enc_vpu, trig_poly,
                 x_ref, g_ref, blob_ref, aux_ref,
                 dx_ref, dblob_ref, daux_ref, ws, wa, sems):
     """Fused backward: recompute the forward per tile (activations never
@@ -418,9 +475,22 @@ def _kernel_bwd(L, cdt, fast_cos,
     # --- forward recompute (matches _kernel_body exactly) ---
     x = x_ref[:]
     gproj = wa[0:LANES, 0:8]
-    raw = jnp.dot(gproj, x, preferred_element_type=f32, precision=hi)
+    trig_poly = trig_poly and cdt != f32
+    if enc_vpu:
+        raw = _encode_raw_vpu(x, turns=trig_poly)
+    else:
+        raw = jnp.dot(gproj, x, preferred_element_type=f32, precision=hi)
     ident, is_sin = _row_selectors(raw.shape)
-    if fast_cos:
+    if trig_poly:
+        # Matches the forward's poly path; the derivative w.r.t. the
+        # RADIAN argument is cos = sin(+0.25 turns), so denc_draw composes
+        # with the radian-scaled gproj in the dx projection unchanged
+        # (enc(x) = sin(2^k x) either way — only the parameterization of
+        # the recompute changed).
+        u = raw + jnp.where(is_sin, 0.0, jnp.float32(0.25))
+        tr = _sinpoly_turns(u)
+        dtr = _sinpoly_turns(u + jnp.float32(0.25))
+    elif fast_cos:
         phase = jnp.where(is_sin, 0.0, np.float32(np.pi / 2))
         tr = jnp.sin(raw + phase)
         dtr = jnp.cos(raw + phase)
@@ -428,7 +498,7 @@ def _kernel_bwd(L, cdt, fast_cos,
         tr = jnp.where(is_sin, jnp.sin(raw), jnp.cos(raw))
         dtr = jnp.where(is_sin, jnp.cos(raw), -jnp.sin(raw))
     enc = jnp.where(ident, raw, tr).astype(cdt)
-    denc_draw = jnp.where(ident, 1.0, dtr)          # d(enc)/d(raw), f32
+    denc_draw = jnp.where(ident, 1.0, dtr)          # d(enc)/d(raw_rad), f32
 
     def w(name):
         off, rows, _ = L.slots[name]
@@ -538,7 +608,7 @@ def _kernel_bwd(L, cdt, fast_cos,
 
 
 def _backward_t(blob, aux, x, g, dtype, tile, fast_cos, interpret,
-                layout: _Layout = None):
+                layout: _Layout = None, enc_vpu=False, trig_poly=False):
     """x, g: (8, N) f32 -> (dx (8, N) f32, dblob, daux f32 grads)."""
     L = layout or _CANONICAL_LAYOUT
     cdt = jnp.dtype(dtype)
@@ -547,7 +617,8 @@ def _backward_t(blob, aux, x, g, dtype, tile, fast_cos, interpret,
     data_spec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     full_out = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel_bwd, L, cdt,
-                               fast_cos and cdt != jnp.float32)
+                               fast_cos and cdt != jnp.float32,
+                               enc_vpu, trig_poly)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -653,7 +724,8 @@ _FLOPS_SIGMA = _flops(_CANONICAL_LAYOUT, True)
 
 
 def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
-               interleave=False, layout: _Layout = None):
+               interleave=False, layout: _Layout = None,
+               enc_vpu=False, epi_bf16=False, trig_poly=False):
     """x: (8, N) f32, N a multiple of ``tile`` -> (8, N) f32 out
     [rows 0-2 rgb, row 3 sigma]."""
     L = layout or _CANONICAL_LAYOUT
@@ -663,7 +735,8 @@ def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
     interleave = interleave and tile % 256 == 0
     data_spec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel_body, L, cdt, sigma_only,
-                               fast_cos and cdt != jnp.float32, interleave)
+                               fast_cos and cdt != jnp.float32, interleave,
+                               enc_vpu, epi_bf16, trig_poly)
     flops = _flops(L, sigma_only) * n
     return pl.pallas_call(
         kernel,
@@ -701,7 +774,9 @@ def _is_tpu() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool,
-             interleave: bool, arch: Tuple[int, int, int, int] = (_H, _VH, 8, 4)):
+             interleave: bool, arch: Tuple[int, int, int, int] = (_H, _VH, 8, 4),
+             enc_vpu: bool = False, epi_bf16: bool = False,
+             trig_poly: bool = False):
     if (x_freqs, d_freqs) != (_XF, _DF):
         raise NotImplementedError(
             f"fused kernel is specialized to L=({_XF},{_DF}) encodings, "
@@ -731,7 +806,9 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         x, n, t, batch_shape = pack_x(points, viewdirs)
         blob, aux = pack_params(params, dtype)
         out = _forward_t(blob, aux, x, dtype, t, sigma_only, True, interpret,
-                         interleave=interleave, layout=layout)
+                         interleave=interleave, layout=layout,
+                         enc_vpu=enc_vpu, epi_bf16=epi_bf16,
+                         trig_poly=trig_poly)
         sigma = out[3, :n].reshape(batch_shape)
         rgb = out[0:3, :n].T.reshape(*batch_shape, 3)
         return rgb, sigma
@@ -766,18 +843,25 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         # the gradients. n_pad is always a multiple of 128. The cap is
         # dtype-aware: the canonical-arch bwd at tile 512/f32 measured a
         # 31.2 MB Mosaic stack vs the 16 MB scoped-VMEM limit on v5e
-        # (first real-TPU compile, 2026-08-18) — the tile-scaled share is
-        # ~24.6 MB, so f32 fits at 128 and bf16 (half-width activations)
-        # at 256. $NERF_FUSED_BWD_TILE overrides for A/B.
+        # (first real-TPU compile, 2026-08-18), so f32 stays at 128.
+        # $NERF_FUSED_BWD_TILE overrides for A/B.
         bt_env = os.environ.get("NERF_FUSED_BWD_TILE")
         if bt_env:
             bt_cap = int(bt_env)
+        elif jnp.dtype(dtype) == jnp.float32:
+            bt_cap = 128
         else:
-            bt_cap = 128 if jnp.dtype(dtype) == jnp.float32 else 256
-        bt = next(b for b in (bt_cap, 256, 128) if b <= bt_cap and n_pad % b == 0)
+            # Round-5 re-search (v5e, poly-trig path, 2026-08-20): bf16
+            # bwd compiles and WINS well past the old 256 cap — teacher
+            # 107.96 ms @ 256 -> 79.90 @ 1024 (2048 fails to compile);
+            # student-128 keeps gaining to 2048 (15.60 -> 14.78 ms).
+            bt_cap = 2048 if layout.wp < 256 else 1024
+        bt = next(b for b in (bt_cap, 1024, 512, 256, 128)
+                  if b <= bt_cap and n_pad % b == 0)
         blob, aux = pack_params(params, dtype)
         dx, dblob, daux = _backward_t(blob, aux, x, g8, dtype, bt, True,
-                                      interpret, layout=layout)
+                                      interpret, layout=layout,
+                                      enc_vpu=enc_vpu, trig_poly=trig_poly)
         dparams = unpack_grads(dblob, daux, layout=layout)
         dpoints = dx[0:3, :n].T.reshape(*batch_shape, 3)
         dvd_full = dx[3:6, :n].T.reshape(*batch_shape, 3)
@@ -825,16 +909,30 @@ def fused_nerf_mlp(
     tile_env = os.environ.get("NERF_FUSED_TILE")
     if tile_env:
         tile = int(tile_env)
-    elif tile is None and arch[0] < 256:
-        # Measured default (v5e, 2026-08-20, tools/mlp_tile_probe.py): at
-        # trunk width 128 the per-grid-step cost is overhead-bound — tile
-        # 2048 runs the student 9 % faster (9.8 vs 10.1 ms at 16384x64)
-        # while the canonical 256-wide arch is within noise across tiles.
-        # VMEM: a 2048-wide bf16 tile holds ~(blob 0.4 MB + 3 bufs x
-        # 128 x 2048 x 2 B) ≈ 2 MB — comfortably inside the 128 MB VMEM.
-        tile = 2048
     elif tile is None:
-        tile = 1024
+        # Measured default (v5e, 2026-08-20, tools/kernel_variant_probe.py
+        # with the round-5 poly-trig path): tile 4096 wins for BOTH the
+        # canonical 256-wide arch (27.08 ms / 138 TFLOP/s at 16384x192 vs
+        # 27.99 at 1024) and the student-128 (6.31 ms at 16384x64 vs 7.22
+        # at 1024 - the narrow arch is per-step-overhead-bound). VMEM: a
+        # 4096-wide bf16 tile holds ~(blob 1.5 MB + f32 acc 4 MB + a few
+        # 2 MB bf16 bufs) - comfortably inside v5e's VMEM.
+        tile = 4096
+    # Kernel-efficiency knobs (round-5 measurements, docs/PERF.md):
+    # $NERF_FUSED_TRIG=poly (DEFAULT) swaps the libm sin pass (measured
+    # ~28% of the whole kernel) for a period-1 degree-9 polynomial -
+    # image-level lossless (120 dB vs the exact-bf16 render) and +40%/+61%
+    # kernel speed (teacher/student); bf16 mode only (f32 oracle-parity
+    # keeps exact trig), implies enc=vpu (turns-scaled encode).
+    # $NERF_FUSED_ENC=vpu (DEFAULT) builds the encode args on the VPU
+    # (numerically exact) instead of the K=8 f32-HIGHEST MXU pass.
+    # $NERF_FUSED_EPI=bf16 would run layer epilogues in bf16, but Mosaic
+    # currently rejects a bf16 matmul accumulator - knob kept for a
+    # future toolchain. All are read per call (op-cache-keyed) so
+    # in-process A/B toggles take effect.
+    trig_poly = os.environ.get("NERF_FUSED_TRIG", "poly") == "poly"
+    enc_vpu = (os.environ.get("NERF_FUSED_ENC", "vpu") == "vpu") or trig_poly
+    epi_bf16 = os.environ.get("NERF_FUSED_EPI", "f32") == "bf16"
     op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only),
-                  interleave, arch)
+                  interleave, arch, enc_vpu, epi_bf16, trig_poly)
     return op(params, points, viewdirs)
