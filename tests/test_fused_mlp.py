@@ -197,3 +197,55 @@ def test_forward_interleave_matches(rand_params):
                        True, interleave=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_sinpoly_turns_accuracy():
+    """The period-1 polynomial sine (round-5 fast-trig path): max abs
+    error vs libm over many periods must stay two decades under bf16
+    output rounding (~4e-3)."""
+    from nerf_rs_tpu.ops.kernels.fused_mlp import _sinpoly_turns
+
+    u = jnp.asarray(np.linspace(-500.0, 500.0, 200003, dtype=np.float64)
+                    .astype(np.float32))
+    got = np.asarray(_sinpoly_turns(u))
+    want = np.sin(2.0 * np.pi * np.asarray(u, np.float64))
+    # f32 range-reduction at |u|~500 costs ~u*eps extra on top of the
+    # 1.7e-5 fit error.
+    assert np.abs(got - want).max() < 5e-4
+
+
+def test_trig_poly_matches_exact_bf16(rand_params, monkeypatch):
+    """NERF_FUSED_TRIG=poly (the bf16 default) vs =exact: outputs agree
+    at bf16 noise level, and the f32 oracle-parity path is IDENTICAL
+    under either setting (poly is bf16-mode-only)."""
+    pts, dirs = _rand_inputs(128, seed=3)
+    monkeypatch.setenv("NERF_FUSED_TRIG", "exact")
+    rgb_e, sig_e = fused_nerf_mlp(rand_params, pts, dirs, dtype="bfloat16")
+    rf_e, sf_e = fused_nerf_mlp(rand_params, pts, dirs, dtype="float32")
+    monkeypatch.setenv("NERF_FUSED_TRIG", "poly")
+    rgb_p, sig_p = fused_nerf_mlp(rand_params, pts, dirs, dtype="bfloat16")
+    rf_p, sf_p = fused_nerf_mlp(rand_params, pts, dirs, dtype="float32")
+    np.testing.assert_allclose(rgb_p, rgb_e, atol=2e-2)
+    np.testing.assert_allclose(sig_p, sig_e, atol=2e-2, rtol=2e-2)
+    assert np.array_equal(np.asarray(rf_p), np.asarray(rf_e))
+    assert np.array_equal(np.asarray(sf_p), np.asarray(sf_e))
+
+
+def test_trig_poly_grads_close(rand_params, monkeypatch):
+    """The ported backward (cos = sin(+0.25 turns)): grads under poly
+    trig track the exact-trig grads at bf16 noise level."""
+    pts, dirs = _rand_inputs(64, seed=4)
+
+    def loss(p, trig):
+        monkeypatch.setenv("NERF_FUSED_TRIG", trig)
+        rgb, sig = fused_nerf_mlp(p, pts, dirs, dtype="bfloat16")
+        return jnp.sum(rgb) + 1e-3 * jnp.sum(sig)
+
+    g_e = jax.grad(lambda p: loss(p, "exact"))(rand_params)
+    g_p = jax.grad(lambda p: loss(p, "poly"))(rand_params)
+
+    def check(le, lp):
+        scale = float(np.abs(le).max()) + 1e-6
+        assert float(np.abs(np.asarray(le) - np.asarray(lp)).max()) < 0.05 * scale
+
+    jax.tree_util.tree_map(check, g_e, g_p)
