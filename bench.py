@@ -368,6 +368,17 @@ def _arm_deadline(spent: float = 0.0) -> None:
 # carries the frontier evidence too (VERDICT r4 item 2 — round 4's 1.22 M
 # rays/s point existed only in the builder's own sweep log).
 _FRONTIER_PRESETS = (
+    # The flagship ≥30 dB @ ≥1 M point (r5): PRETRAINED teacher weights,
+    # single-pass 64+0 with probe-refined placement — 1.085 M rays/s @
+    # 30.1 dB vs the full 64+128 teacher render (zero training; the
+    # weights env makes the record carry teacher_psnr_db explicitly).
+    ("teacher_s64x0_probe", {
+        "NERF_BENCH_WEIGHTS": "assets/lego_rust",
+        "NERF_BENCH_SAMPLES": "64,0",
+        "NERF_BENCH_ACCEL": "1",
+        "NERF_BENCH_ACCEL_AABB": "1",
+        "NERF_BENCH_REPEATS": "8",
+    }),
     # Single-pass serving preset: fine-tuned student, 64+0 samples with
     # probe-refined placement — 1.22 M rays/s @ 29.3 dB vs teacher (r4).
     ("sp29_s64x0_probe", {
