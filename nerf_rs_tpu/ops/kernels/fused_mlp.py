@@ -156,7 +156,13 @@ def _layout(width: int, v_width: int, depth: int, skip_at: int) -> _Layout:
     add("wvbt", vp, LANES)              # viewdirs dir rows (encode buffer)
     add("wst", 16, wp)                  # sigma head: alpha^T at out row 3
     add("wrt", 16, vp)                  # rgb head: rgb^T at out rows 0:3
-    bias_cols = depth + 4
+    # Bias-table columns depth+4.. additionally carry the HEAD WEIGHTS as
+    # COLUMN vectors (alpha (wp,), rgb[:,0..2] (vp,)) for the heads-on-VPU
+    # forward variant ($NERF_FUSED_HEADS=vpu): the 16-row head matmuls run
+    # as padded 128-row MXU passes, and a VPU multiply + sublane-reduce
+    # does the same contraction off the MXU. The backward keeps the blob
+    # slots (these columns get zero daux grads, never unpacked).
+    bias_cols = depth + 8
     return _Layout(width=width, v_width=v_width, depth=depth,
                    skip_at=skip_at, wp=wp, vp=vp, lanes=lanes, slots=slots,
                    blob_rows=off, aux_rows=LANES + max(wp, vp),
@@ -328,7 +334,11 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     bias_tab = jnp.stack(
         [bias_col(b(f"dense{i}")) for i in range(L.depth)]
         + [bias_col(b("bottleneck")), bias_col(b("viewdirs")),
-           bias_col(b("alpha"), top=3), bias_col(b("rgb"))],
+           bias_col(b("alpha"), top=3), bias_col(b("rgb"))]
+        # Head weights as columns for the heads-on-VPU variant (see
+        # _layout): alpha (W,), then rgb[:, 0..2] (V,) each.
+        + [bias_col(k("alpha")[:, 0])]
+        + [bias_col(k("rgb")[:, c]) for c in range(3)],
         axis=1,
     )  # (h_bias, bias_cols)
     aux = jnp.concatenate(
@@ -344,7 +354,8 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _kernel_body(L, cdt, sigma_only, fast_cos, interleave, enc_vpu, epi_bf16,
-                 trig_poly, x_ref, blob_ref, aux_ref, out_ref, ws, wa, sems):
+                 trig_poly, heads_vpu,
+                 x_ref, blob_ref, aux_ref, out_ref, ws, wa, sems):
     @pl.when(pl.program_id(0) == 0)
     def _():
         cp_w = pltpu.make_async_copy(blob_ref, ws, sems.at[0])
@@ -354,7 +365,8 @@ def _kernel_body(L, cdt, sigma_only, fast_cos, interleave, enc_vpu, epi_bf16,
         cp_w.wait()
         cp_a.wait()
 
-    kw = dict(enc_vpu=enc_vpu, epi_bf16=epi_bf16, trig_poly=trig_poly)
+    kw = dict(enc_vpu=enc_vpu, epi_bf16=epi_bf16, trig_poly=trig_poly,
+              heads_vpu=heads_vpu)
     if interleave:
         # Two independent half-tile chains: gives Mosaic's scheduler
         # MXU-independent VPU work (encode/epilogues of one half can
@@ -370,7 +382,8 @@ def _kernel_body(L, cdt, sigma_only, fast_cos, interleave, enc_vpu, epi_bf16,
 
 
 def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa,
-               enc_vpu=False, epi_bf16=False, trig_poly=False):
+               enc_vpu=False, epi_bf16=False, trig_poly=False,
+               heads_vpu=False):
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST
     prec = hi if cdt == f32 else None
@@ -437,16 +450,46 @@ def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa,
             h = lay(f"w{i}t", h, i).astype(cdt)
 
     # Heads stay f32 (the (8, T) output stripe is f32 either way).
-    sig8 = lay("wst", h, L.b_sigma, out_f32=True)[0:8]  # row 3 = sigma
-    row = jax.lax.broadcasted_iota(jnp.int32, sig8.shape, 0)
+    # $NERF_FUSED_HEADS=vpu (bf16 mode): the 16-row head matmuls cost a
+    # full padded 128-row MXU pass each (~7% of kernel MXU time); the
+    # same contractions run as VPU multiply + sublane-reduce against the
+    # head-weight COLUMNS packed into the aux bias table (_layout).
+    heads_vpu = heads_vpu and cdt != f32
+    row_shape = (8, x.shape[1])
+    row = jax.lax.broadcasted_iota(jnp.int32, row_shape, 0)
+
+    def vpu_head(hin, wcol_idx, n_in, bias_row, bias_col):
+        wcol = wa[_AUX_B_OFF:_AUX_B_OFF + n_in, wcol_idx:wcol_idx + 1]
+        s = jnp.sum(hin.astype(f32) * wcol, axis=0, keepdims=True)
+        return s + wa[_AUX_B_OFF + bias_row:_AUX_B_OFF + bias_row + 1,
+                      bias_col:bias_col + 1]
+
+    b_acol = L.bias_cols - 4          # alpha column; rgb cols follow
+
+    if heads_vpu:
+        sig1 = jnp.maximum(vpu_head(h, b_acol, L.wp, 3, L.b_sigma), 0.0)
+        sig8 = jnp.where(row == 3, jnp.broadcast_to(sig1, row_shape), 0.0)
+    else:
+        sig8 = lay("wst", h, L.b_sigma, out_f32=True)[0:8]  # row 3 = sigma
 
     if sigma_only:
         return jnp.where(row == 3, sig8, 0.0)
 
     bneck = lay("wbt", h, L.b_bneck, relu=False).astype(cdt)
     hv = lay2("wvat", bneck, "wvbt", enc, L.b_view).astype(cdt)
-    rgb8 = jax.nn.sigmoid(
-        lay("wrt", hv, L.b_rgb, relu=False, out_f32=True)[0:8])  # rows 0:2
+    if heads_vpu:
+        r0 = vpu_head(hv, b_acol + 1, L.vp, 0, L.b_rgb)
+        r1 = vpu_head(hv, b_acol + 2, L.vp, 1, L.b_rgb)
+        r2 = vpu_head(hv, b_acol + 3, L.vp, 2, L.b_rgb)
+        pre = jnp.where(row == 0, jnp.broadcast_to(r0, row_shape),
+                        jnp.where(row == 1, jnp.broadcast_to(r1, row_shape),
+                                  jnp.where(row == 2,
+                                            jnp.broadcast_to(r2, row_shape),
+                                            0.0)))
+        rgb8 = jax.nn.sigmoid(pre)
+    else:
+        rgb8 = jax.nn.sigmoid(
+            lay("wrt", hv, L.b_rgb, relu=False, out_f32=True)[0:8])  # rows 0:2
     return jnp.where(row == 3, sig8, jnp.where(row < 3, rgb8, 0.0))
 
 
@@ -725,7 +768,8 @@ _FLOPS_SIGMA = _flops(_CANONICAL_LAYOUT, True)
 
 def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
                interleave=False, layout: _Layout = None,
-               enc_vpu=False, epi_bf16=False, trig_poly=False):
+               enc_vpu=False, epi_bf16=False, trig_poly=False,
+               heads_vpu=False):
     """x: (8, N) f32, N a multiple of ``tile`` -> (8, N) f32 out
     [rows 0-2 rgb, row 3 sigma]."""
     L = layout or _CANONICAL_LAYOUT
@@ -736,7 +780,7 @@ def _forward_t(blob, aux, x, dtype, tile, sigma_only, fast_cos, interpret,
     data_spec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel_body, L, cdt, sigma_only,
                                fast_cos and cdt != jnp.float32, interleave,
-                               enc_vpu, epi_bf16, trig_poly)
+                               enc_vpu, epi_bf16, trig_poly, heads_vpu)
     flops = _flops(L, sigma_only) * n
     return pl.pallas_call(
         kernel,
@@ -776,7 +820,7 @@ def _is_tpu() -> bool:
 def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool,
              interleave: bool, arch: Tuple[int, int, int, int] = (_H, _VH, 8, 4),
              enc_vpu: bool = False, epi_bf16: bool = False,
-             trig_poly: bool = False):
+             trig_poly: bool = False, heads_vpu: bool = False):
     if (x_freqs, d_freqs) != (_XF, _DF):
         raise NotImplementedError(
             f"fused kernel is specialized to L=({_XF},{_DF}) encodings, "
@@ -808,7 +852,7 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
         out = _forward_t(blob, aux, x, dtype, t, sigma_only, True, interpret,
                          interleave=interleave, layout=layout,
                          enc_vpu=enc_vpu, epi_bf16=epi_bf16,
-                         trig_poly=trig_poly)
+                         trig_poly=trig_poly, heads_vpu=heads_vpu)
         sigma = out[3, :n].reshape(batch_shape)
         rgb = out[0:3, :n].T.reshape(*batch_shape, 3)
         return rgb, sigma
@@ -914,10 +958,12 @@ def fused_nerf_mlp(
         # with the round-5 poly-trig path): tile 4096 wins for BOTH the
         # canonical 256-wide arch (27.08 ms / 138 TFLOP/s at 16384x192 vs
         # 27.99 at 1024) and the student-128 (6.31 ms at 16384x64 vs 7.22
-        # at 1024 - the narrow arch is per-step-overhead-bound). VMEM: a
-        # 4096-wide bf16 tile holds ~(blob 1.5 MB + f32 acc 4 MB + a few
-        # 2 MB bf16 bufs) - comfortably inside v5e's VMEM.
-        tile = 4096
+        # at 1024 - the narrow arch is per-step-overhead-bound). f32
+        # (oracle-parity) mode stays at 1024: its full-width activations
+        # measured a 21.74 MB Mosaic scoped-VMEM stack at 4096 vs the
+        # 16 MB limit (distill teacher render, first f32-mode compile
+        # after the 4096 flip, 2026-08-20).
+        tile = 1024 if jnp.dtype(dtype) == jnp.float32 else 4096
     # Kernel-efficiency knobs (round-5 measurements, docs/PERF.md):
     # $NERF_FUSED_TRIG=poly (DEFAULT) swaps the libm sin pass (measured
     # ~28% of the whole kernel) for a period-1 degree-9 polynomial -
@@ -933,6 +979,8 @@ def fused_nerf_mlp(
     trig_poly = os.environ.get("NERF_FUSED_TRIG", "poly") == "poly"
     enc_vpu = (os.environ.get("NERF_FUSED_ENC", "vpu") == "vpu") or trig_poly
     epi_bf16 = os.environ.get("NERF_FUSED_EPI", "f32") == "bf16"
+    # $NERF_FUSED_HEADS=vpu: 16-row head matmuls as VPU reductions (A/B).
+    heads_vpu = os.environ.get("NERF_FUSED_HEADS", "mxu") == "vpu"
     op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only),
-                  interleave, arch, enc_vpu, epi_bf16, trig_poly)
+                  interleave, arch, enc_vpu, epi_bf16, trig_poly, heads_vpu)
     return op(params, points, viewdirs)
