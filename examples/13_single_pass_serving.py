@@ -19,6 +19,13 @@ assets/trained/student128_sp29 — fine-tuned with the placement-aware
 recipe (cli train --teacher-samples 64,128 --accel-aabb
 --accel-probes 128 --accel-pad 4, docs/PERF.md).
 
+Round 5: the same preset applied to the PRETRAINED TEACHER weights
+(no training at all) measures 1.09 M rays/s at 30.1 dB vs the full
+teacher render (docs/sweeps/r05.jsonl, teacher_s64x0_probe) — the
+round-5 poly-trig kernel made the 256-wide teacher fast enough that
+single-pass serving no longer requires a distilled student to clear
+1 M rays/s at 30 dB. Pass --weights assets/lego_rust to run it.
+
 Equivalent CLI:
   python -m nerf_rs_tpu render --weights assets/trained/student128_sp29 \
       --coarse-samples 64 --fine-samples 0 \
