@@ -368,21 +368,13 @@ def _arm_deadline(spent: float = 0.0) -> None:
 # carries the frontier evidence too (VERDICT r4 item 2 — round 4's 1.22 M
 # rays/s point existed only in the builder's own sweep log).
 _FRONTIER_PRESETS = (
-    # The flagship ≥30 dB @ ≥1 M point (r5): PRETRAINED teacher weights,
-    # single-pass 64+0 with probe-refined placement — 1.085 M rays/s @
-    # 30.1 dB vs the full 64+128 teacher render (zero training; the
-    # weights env makes the record carry teacher_psnr_db explicitly).
-    ("teacher_s64x0_probe", {
-        "NERF_BENCH_WEIGHTS": "assets/lego_rust",
-        "NERF_BENCH_SAMPLES": "64,0",
-        "NERF_BENCH_ACCEL": "1",
-        "NERF_BENCH_ACCEL_AABB": "1",
-        "NERF_BENCH_REPEATS": "8",
-    }),
-    # Single-pass serving preset: fine-tuned student, 64+0 samples with
-    # probe-refined placement — 1.22 M rays/s @ 29.3 dB vs teacher (r4).
-    ("sp29_s64x0_probe", {
-        "NERF_BENCH_WEIGHTS": "assets/trained/student128_sp29",
+    # The flagship ≥30 dB @ ≥1 M point (r5): the vendored single-pass
+    # fine-tuned TEACHER, 64+0 samples with probe-refined placement —
+    # 1.08 M rays/s @ 30.4 dB vs the full 64+128 teacher render. (The
+    # un-fine-tuned teacher measures 1.09 M @ 30.1 under the same
+    # preset — zero-training; sweep leg teacher_s64x0_probe.)
+    ("tsp_s64x0_probe", {
+        "NERF_BENCH_WEIGHTS": "assets/trained/teacher_sp30",
         "NERF_BENCH_SAMPLES": "64,0",
         "NERF_BENCH_ACCEL": "1",
         "NERF_BENCH_ACCEL_AABB": "1",
@@ -390,8 +382,17 @@ _FRONTIER_PRESETS = (
         # (measured r5); min-of-8 recovers the config's true rate.
         "NERF_BENCH_REPEATS": "8",
     }),
-    # Distilled student at the full 64+128 headline config — 516 K rays/s
-    # @ 30.1 dB vs teacher (r4).
+    # Deeper point on the same artifact: 48+0 — 1.22 M rays/s @ 29.9 dB
+    # vs teacher (r5 sweep tsp_s48x0_probe).
+    ("tsp_s48x0_probe", {
+        "NERF_BENCH_WEIGHTS": "assets/trained/teacher_sp30",
+        "NERF_BENCH_SAMPLES": "48,0",
+        "NERF_BENCH_ACCEL": "1",
+        "NERF_BENCH_ACCEL_AABB": "1",
+        "NERF_BENCH_REPEATS": "8",
+    }),
+    # Distilled student at the full 64+128 headline config — 739 K rays/s
+    # @ 30.1 dB vs teacher (r5).
     ("student30_800q", {
         "NERF_BENCH_WEIGHTS": "assets/trained/student128_30db",
     }),
