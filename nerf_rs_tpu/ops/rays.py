@@ -15,8 +15,10 @@ reference where points and view dirs both use the normalized dir
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -61,8 +63,16 @@ def ray_directions(cam: Camera, height: int, width: int) -> jnp.ndarray:
     return x * r + y * u + f  # (H, W, 3)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def camera_rays(cam: Camera, height: int, width: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(origins (H, W, 3), unit directions (H, W, 3)) for the full image."""
+    """(origins (H, W, 3), unit directions (H, W, 3)) for the full image.
+
+    Jitted (h/w static) so a full frame's ray generation is ONE device
+    program (each eager dispatch costs ~24 ms of RPC latency on the
+    tunneled backend) — and so every caller (single-device, sharded,
+    multihost, accel calibration) sees bitwise-identical directions: an
+    eager copy can fuse/round differently from a jitted one, which would
+    break the bitwise chunk/shard-invariance contracts."""
     dirs = _normalize(ray_directions(cam, height, width))
     origins = jnp.broadcast_to(cam.position, dirs.shape)
     return origins, dirs
