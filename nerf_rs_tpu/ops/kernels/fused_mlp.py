@@ -979,8 +979,11 @@ def fused_nerf_mlp(
     trig_poly = os.environ.get("NERF_FUSED_TRIG", "poly") == "poly"
     enc_vpu = (os.environ.get("NERF_FUSED_ENC", "vpu") == "vpu") or trig_poly
     epi_bf16 = os.environ.get("NERF_FUSED_EPI", "f32") == "bf16"
-    # $NERF_FUSED_HEADS=vpu: 16-row head matmuls as VPU reductions (A/B).
-    heads_vpu = os.environ.get("NERF_FUSED_HEADS", "mxu") == "vpu"
+    # $NERF_FUSED_HEADS=vpu (DEFAULT, bf16 only): 16-row head matmuls as
+    # VPU reductions — each padded 128-row MXU head pass removed buys ~2%
+    # (teacher 139.4 -> 141.8 TFLOP/s); image-lossless (120 dB vs the
+    # matmul heads at 128px).
+    heads_vpu = os.environ.get("NERF_FUSED_HEADS", "vpu") == "vpu"
     op = _make_op(x_freqs, d_freqs, str(dtype), tile, bool(sigma_only),
                   interleave, arch, enc_vpu, epi_bf16, trig_poly, heads_vpu)
     return op(params, points, viewdirs)
