@@ -206,7 +206,7 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
             accel_tag += f"+thr{os.environ['NERF_BENCH_ACCEL_THRESH']}"
         if os.environ.get("NERF_BENCH_ACCEL_SLACK"):
             accel_tag += f"+slack{os.environ['NERF_BENCH_ACCEL_SLACK']}"
-        probes = os.environ.get("NERF_BENCH_AABB_PROBES", "128")
+        probes = os.environ.get("NERF_BENCH_AABB_PROBES", "32")
         if os.environ.get("NERF_BENCH_ACCEL_AABB", "0") not in ("0", "", "false"):
             accel_tag += "+aabb"
             if probes not in ("0", ""):
@@ -488,7 +488,12 @@ def main() -> None:
     # 87 dB vs dense 298K. Explicit env values override. Set before any
     # record can print so error records join the same metric series.
     os.environ.setdefault("NERF_ACCEL_COMPACT", "off")
-    os.environ.setdefault("NERF_BENCH_AABB_PROBES", "128")
+    # Probe default 128 -> 32 (round 5): the probe-count sweep
+    # (128/64/32/16 on three artifacts) left every PSNR axis unchanged —
+    # the stride-4 pooling is the conservative layer — while the ranges
+    # program shrank from 49 to ~14 ms (probes are XLA row-gathers at
+    # ~125 M rows/s); 16 cost 0.1 dB on sp29. docs/sweeps/r05.jsonl.
+    os.environ.setdefault("NERF_BENCH_AABB_PROBES", "32")
     os.environ.setdefault("NERF_BENCH_RANGE_STRIDE", "4")
     if os.environ.get("NERF_BENCH_PLATFORM"):
         # Smoke-test escape hatch (e.g. =cpu): the axon plugin overrides
@@ -563,10 +568,10 @@ def main() -> None:
     # docs/PERF.md decision table) — instead of relying on callers to
     # remember the winning knobs. The auto race still reports the exact
     # path whenever culling loses (small frames).
-    if os.environ.get("NERF_BENCH_AABB_PROBES", "128") not in ("0", ""):
+    if os.environ.get("NERF_BENCH_AABB_PROBES", "32") not in ("0", ""):
         cfg = cfg.replace(
             accel_aabb_probes=int(os.environ.get("NERF_BENCH_AABB_PROBES",
-                                                 "128")))
+                                                 "32")))
     if "NERF_BENCH_ACCEL_T" in os.environ:
         cfg = cfg.replace(accel_t_threshold=float(os.environ["NERF_BENCH_ACCEL_T"]))
     if "NERF_BENCH_ACCEL_SLACK" in os.environ:

@@ -136,7 +136,7 @@ def test_frontier_presets_gating(monkeypatch):
 def test_bench_default_metric_is_headline_config(monkeypatch):
     """The driver runs a BARE `python bench.py` at end of round; round 4
     flipped the defaults so that run IS the measured-best lossless accel
-    config (probe culling 128, stride 4, compact off — the off_probe_s4
+    config (probe culling 32, stride 4, compact off — the off_probe_s4
     headline, docs/PERF.md). Pin the metric label so a default regression
     cannot silently demote the headline series."""
     sys.path.insert(0, str(REPO))
@@ -150,7 +150,7 @@ def test_bench_default_metric_is_headline_config(monkeypatch):
             monkeypatch.delenv(var, raising=False)
         name = bench._metric_name()
         assert "+accel" in name
-        assert "+probecull128" in name
+        assert "+probecull32" in name
         assert "+stride4" in name
         assert "+coff" in name
         assert "800x800 64+128" in name
