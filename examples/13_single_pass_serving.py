@@ -19,12 +19,13 @@ assets/trained/student128_sp29 — fine-tuned with the placement-aware
 recipe (cli train --teacher-samples 64,128 --accel-aabb
 --accel-probes 128 --accel-pad 4, docs/PERF.md).
 
-Round 5: the same preset applied to the PRETRAINED TEACHER weights
-(no training at all) measures 1.09 M rays/s at 30.1 dB vs the full
-teacher render (docs/sweeps/r05.jsonl, teacher_s64x0_probe) — the
-round-5 poly-trig kernel made the 256-wide teacher fast enough that
-single-pass serving no longer requires a distilled student to clear
-1 M rays/s at 30 dB. Pass --weights assets/lego_rust to run it.
+Round 5 (poly-trig kernel + devsync timing + probes-32 ranges,
+docs/sweeps/r05.jsonl): the same preset on the vendored fine-tuned
+TEACHER (assets/trained/teacher_sp30) measures **1.94 M rays/s at
+30.4 dB** vs the full teacher render, and this student preset reaches
+**3.2 M rays/s at 29.3 dB** — 32 % of the 10 M north star. Even the
+PRETRAINED teacher with zero extra training clears 1 M at 30.1 dB
+(pass --weights assets/lego_rust to run it).
 
 Equivalent CLI:
   python -m nerf_rs_tpu render --weights assets/trained/student128_sp29 \
