@@ -411,7 +411,11 @@ def _mlp_chain(L, cdt, sigma_only, fast_cos, x, ws, wa,
         # v5e: the libm sin pass was ~28% of the whole kernel. (All 128
         # rows — a rows-0:96 slice+concat variant that skips the padding
         # rows SIGABRTs the Mosaic compiler, probed 2026-08-20.)
-        u = raw + jnp.where(is_sin, 0.0, jnp.float32(0.25))
+        # With the MXU encode ($NERF_FUSED_ENC=mxu) raw is in RADIANS;
+        # one multiply converts — an A/B for narrow (VPU-bound) archs
+        # where shifting encode work onto the idle MXU can win.
+        rt = raw if enc_vpu else raw * jnp.float32(_INV_2PI)
+        u = rt + jnp.where(is_sin, 0.0, jnp.float32(0.25))
         enc = jnp.where(ident, raw, _sinpoly_turns(u)).astype(cdt)
     elif fast_cos:
         # cos(x) = sin(x + pi/2): one transcendental pass. Arg error from
@@ -530,7 +534,8 @@ def _kernel_bwd(L, cdt, fast_cos, enc_vpu, trig_poly,
         # with the radian-scaled gproj in the dx projection unchanged
         # (enc(x) = sin(2^k x) either way — only the parameterization of
         # the recompute changed).
-        u = raw + jnp.where(is_sin, 0.0, jnp.float32(0.25))
+        rt = raw if enc_vpu else raw * jnp.float32(_INV_2PI)
+        u = rt + jnp.where(is_sin, 0.0, jnp.float32(0.25))
         tr = _sinpoly_turns(u)
         dtr = _sinpoly_turns(u + jnp.float32(0.25))
     elif fast_cos:
@@ -977,7 +982,7 @@ def fused_nerf_mlp(
     # future toolchain. All are read per call (op-cache-keyed) so
     # in-process A/B toggles take effect.
     trig_poly = os.environ.get("NERF_FUSED_TRIG", "poly") == "poly"
-    enc_vpu = (os.environ.get("NERF_FUSED_ENC", "vpu") == "vpu") or trig_poly
+    enc_vpu = os.environ.get("NERF_FUSED_ENC", "vpu") == "vpu"
     epi_bf16 = os.environ.get("NERF_FUSED_EPI", "f32") == "bf16"
     # $NERF_FUSED_HEADS=vpu (DEFAULT, bf16 only): 16-row head matmuls as
     # VPU reductions — each padded 128-row MXU head pass removed buys ~2%
