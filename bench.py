@@ -227,6 +227,20 @@ def _metric_name(impl=None, dtype=None, accel=None, sampling=None) -> str:
             accel_tag += "+noraycull"
     suffix = (f"{impl}/{dtype}" + accel_tag
               + ("+psampling" if sampling == "pallas" else ""))
+    # Kernel A/B knobs alias the headline series otherwise (this string
+    # is the join key; every non-default knob must land in the name).
+    if os.environ.get("NERF_FUSED_TRIG", "poly") != "poly":
+        suffix += f"+trig{os.environ['NERF_FUSED_TRIG']}"
+    if os.environ.get("NERF_FUSED_ENC", "vpu") != "vpu":
+        suffix += f"+enc{os.environ['NERF_FUSED_ENC']}"
+    if os.environ.get("NERF_FUSED_HEADS", "vpu") != "vpu":
+        suffix += f"+heads{os.environ['NERF_FUSED_HEADS']}"
+    if os.environ.get("NERF_FUSED_INTERLEAVE", "0") == "1":
+        suffix += "+il"
+    if os.environ.get("NERF_FUSED_TILE"):
+        suffix += f"+ktile{os.environ['NERF_FUSED_TILE']}"
+    if os.environ.get("NERF_FUSED_BWD_TILE"):
+        suffix += f"+kbt{os.environ['NERF_FUSED_BWD_TILE']}"
     if os.environ.get("NERF_BENCH_SYNC", "scalar") == "scalar" and mode != "train":
         # Round-5 default: the timed loop syncs on a 4-byte scalar
         # reduction of the frame (full data dependency — the render must
@@ -380,7 +394,7 @@ def _arm_deadline(spent: float = 0.0) -> None:
 _FRONTIER_PRESETS = (
     # The quality flagship ≥30 dB point (r5): the vendored single-pass
     # fine-tuned TEACHER, 64+0 samples with probe-refined placement —
-    # 1.74 M rays/s @ 30.4 dB vs the full 64+128 teacher render
+    # 1.92-1.94 M rays/s @ 30.4 dB vs the full 64+128 teacher render
     # (devsync series). The un-fine-tuned teacher measures 30.1 dB under
     # the same preset — zero-training; sweep leg teacher_s64x0_probe.
     ("tsp_s64x0_probe", {
@@ -392,9 +406,10 @@ _FRONTIER_PRESETS = (
         # (measured r5); min-of-8 recovers the config's true rate.
         "NERF_BENCH_REPEATS": "8",
     }),
-    # The speed flagship: single-pass fine-tuned student — 2.70 M rays/s
-    # @ 29.3 dB vs teacher (r5 devsync series; 27% of the 10 M north
-    # star). The teacher_sp30 48+0 point (2.05 M @ 29.9) sits between.
+    # The speed flagship: single-pass fine-tuned student — 3.16-3.20 M
+    # rays/s @ 29.3 dB vs teacher (r5 devsync+probes32 series; 32% of
+    # the 10 M north star). teacher_sp30 48+0 (2.29 M @ 29.8) sits
+    # between the two flagships.
     ("sp29_s64x0_probe", {
         "NERF_BENCH_WEIGHTS": "assets/trained/student128_sp29",
         "NERF_BENCH_SAMPLES": "64,0",
@@ -403,7 +418,7 @@ _FRONTIER_PRESETS = (
         "NERF_BENCH_REPEATS": "8",
     }),
     # Distilled student at the FULL 64+128 headline sampling + lossless
-    # probe culling — 1.11 M rays/s @ 30.1 dB vs teacher (r5).
+    # probe culling — 1.11-1.15 M rays/s @ 30.1 dB vs teacher (r5).
     ("student30_800q", {
         "NERF_BENCH_WEIGHTS": "assets/trained/student128_30db",
     }),
@@ -423,7 +438,16 @@ def _frontier_presets_due() -> bool:
     overrides = ("NERF_BENCH_MODE", "NERF_BENCH_SIZE", "NERF_BENCH_SAMPLES",
                  "NERF_BENCH_WEIGHTS", "NERF_BENCH_CHECKPOINT",
                  "NERF_BENCH_ARCH", "NERF_BENCH_MODEL", "NERF_BENCH_IMPL",
-                 "NERF_BENCH_DTYPE", "NERF_BENCH_CHUNK")
+                 "NERF_BENCH_DTYPE", "NERF_BENCH_CHUNK",
+                 # Accel/timing knobs too: a sweep leg that sets any of
+                 # these is NOT the bare headline run, and presets must
+                 # not inherit its unrelated overrides.
+                 "NERF_BENCH_ACCEL", "NERF_BENCH_ACCEL_AABB",
+                 "NERF_BENCH_AABB_PROBES", "NERF_BENCH_RANGE_STRIDE",
+                 "NERF_BENCH_ACCEL_RES", "NERF_BENCH_ACCEL_T",
+                 "NERF_BENCH_ACCEL_THRESH", "NERF_BENCH_ACCEL_SLACK",
+                 "NERF_BENCH_REPEATS", "NERF_BENCH_SYNC",
+                 "NERF_BENCH_SAMPLING")
     return not any(os.environ.get(v) for v in overrides)
 
 
@@ -439,9 +463,13 @@ def _run_frontier_presets(t0: float) -> None:
     deadline = float(os.environ.get("NERF_BENCH_DEADLINE", "2400"))
     reserve = 900.0   # wall-clock kept for the headline leg
     for name, env_over in _FRONTIER_PRESETS:
-        remaining = ((deadline - (time.monotonic() - t0))
-                     if deadline > 0 else 1e9)
-        budget = min(700.0, remaining - reserve)
+        if deadline <= 0:
+            # Operator disabled the deadline: children inherit that
+            # (cold-cache compiles may legitimately exceed any budget).
+            remaining, budget = 1e9, 1e9
+        else:
+            remaining = deadline - (time.monotonic() - t0)
+            budget = min(700.0, remaining - reserve)
         if budget < 240.0:
             print(f"frontier preset {name}: skipped "
                   f"({remaining:.0f}s left, reserved for the headline leg)",
@@ -455,13 +483,16 @@ def _run_frontier_presets(t0: float) -> None:
         env.update({
             "NERF_BENCH_NO_LOCK": "1",       # parent holds the TPU lock
             "NERF_BENCH_EXTRA": "0",         # no recursion
-            "NERF_BENCH_DEADLINE": str(int(budget)),
+            "NERF_BENCH_DEADLINE": ("0" if deadline <= 0
+                                    else str(int(budget))),
             "NERF_BENCH_INIT_TIMEOUT": "180",
         })
         try:
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  cwd=repo, env=env, capture_output=True,
-                                 text=True, timeout=budget + 120)
+                                 text=True,
+                                 timeout=None if deadline <= 0
+                                 else budget + 120)
         except subprocess.TimeoutExpired:
             print(f"frontier preset {name}: timed out after {budget:.0f}s",
                   file=sys.stderr, flush=True)
@@ -511,12 +542,15 @@ def main() -> None:
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    t0 = time.monotonic()
     try:
         _tpu_lock = _acquire_tpu_lock()  # noqa: F841 — held until exit
     except TimeoutError as e:
         _print_error_record(str(e))
         return
+    # Deadline budget starts AFTER the lock: waiting out another client's
+    # flock (chain legs wait up to NERF_BENCH_LOCK_WAIT=3600s) must not
+    # consume the benchmark's own time budget.
+    t0 = time.monotonic()
     if _frontier_presets_due():
         # BEFORE the parent's own backend init: one TPU client at a time.
         _run_frontier_presets(t0)

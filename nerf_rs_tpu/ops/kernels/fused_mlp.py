@@ -336,9 +336,14 @@ def pack_params(params, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
         + [bias_col(b("bottleneck")), bias_col(b("viewdirs")),
            bias_col(b("alpha"), top=3), bias_col(b("rgb"))]
         # Head weights as columns for the heads-on-VPU variant (see
-        # _layout): alpha (W,), then rgb[:, 0..2] (V,) each.
-        + [bias_col(k("alpha")[:, 0])]
-        + [bias_col(k("rgb")[:, c]) for c in range(3)],
+        # _layout): alpha (W,), then rgb[:, 0..2] (V,) each — rounded
+        # through the compute dtype so the VPU contraction multiplies
+        # the SAME weight values as the matmul heads and the backward
+        # recompute (bf16 h x bf16-rounded w, f32 products both ways;
+        # only the f32 summation order differs).
+        + [bias_col(k("alpha")[:, 0].astype(cdt).astype(jnp.float32))]
+        + [bias_col(k("rgb")[:, c].astype(cdt).astype(jnp.float32))
+           for c in range(3)],
         axis=1,
     )  # (h_bias, bias_cols)
     aux = jnp.concatenate(
@@ -904,7 +909,12 @@ def _make_op(x_freqs: int, d_freqs: int, dtype: str, tile: int, sigma_only: bool
             # bwd compiles and WINS well past the old 256 cap — teacher
             # 107.96 ms @ 256 -> 79.90 @ 1024 (2048 fails to compile);
             # student-128 keeps gaining to 2048 (15.60 -> 14.78 ms).
-            bt_cap = 2048 if layout.wp < 256 else 1024
+            # Both measured points sit at the SAME activation footprint
+            # wp*bt = 256*1024, so the cap scales inversely with trunk
+            # width for the rest of the family (a wp=512 student at a
+            # flat 1024 would double the footprint the teacher already
+            # fails at) — $NERF_FUSED_BWD_TILE overrides for re-search.
+            bt_cap = max(128, ((256 * 1024 // layout.wp) // 128) * 128)
         bt = next(b for b in (bt_cap, 1024, 512, 256, 128)
                   if b <= bt_cap and n_pad % b == 0)
         blob, aux = pack_params(params, dtype)

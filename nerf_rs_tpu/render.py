@@ -604,8 +604,8 @@ def _image_ray_ranges(grid, origin, dirs_img, near, far, cfg: RenderConfig):
     return (t0, t1), order, jnp.sum(hit.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("n_render",))
-def _pack_rays(t0, t1, order, dirs_flat, n_render: int):
+@functools.partial(jax.jit, static_argnames=("n_render", "want_ranges"))
+def _pack_rays(t0, t1, order, dirs_flat, n_render: int, want_ranges: bool):
     """Jitted pack prologue: one device program instead of 3-4 eager
     dispatches (order wrap-pad + two gathers) — on the tunneled backend
     every eager dispatch costs ~24 ms of RPC latency, which round-5
@@ -619,7 +619,12 @@ def _pack_rays(t0, t1, order, dirs_flat, n_render: int):
         order_r = jnp.concatenate([order, order[: n_render - n]])
     else:
         order_r = order[:n_render]
-    ranges = jnp.take(jnp.concatenate([t0, t1], axis=-1), order_r, axis=0)
+    # The ranges gather is real work (~n_render rows) and a jit OUTPUT
+    # cannot be dead-code-eliminated — skip it statically when the config
+    # does not place samples by the image-level ranges (the headline
+    # probecull path).
+    ranges = (jnp.take(jnp.concatenate([t0, t1], axis=-1), order_r, axis=0)
+              if want_ranges else None)
     dirs_packed = jnp.take(dirs_flat, order_r, axis=0)
     return order_r, dirs_packed, ranges
 
@@ -662,9 +667,8 @@ def _render_image_culled(params_c, params_f, camera, height, width, key, cfg,
     # image-level ranges are computed once here, not per chunk, whenever
     # the config places samples by them.
     order_r, dirs_packed, ranges_flat = _pack_rays(
-        t0, t1, order, dirs_flat, n_render)
-    if not cfg.accel_sample_aabb:
-        ranges_flat = None
+        t0, t1, order, dirs_flat, n_render,
+        bool(cfg.accel_sample_aabb))
     group = _host_group(cfg, chunk, n_render)
     if group < n_render:
         # Same host-side program splitting as render_image (per-ray RNG is
