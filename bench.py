@@ -518,6 +518,11 @@ def main() -> None:
     # packing on stride-4 subsampled ranges — off_probe_s4 377K rays/s @
     # 87 dB vs dense 298K. Explicit env values override. Set before any
     # record can print so error records join the same metric series.
+    # Evaluate the frontier-preset gate BEFORE the setdefault block: the
+    # defaults below make NERF_BENCH_AABB_PROBES/RANGE_STRIDE "set", and
+    # the gate's override check must see the CALLER's env, not our own
+    # defaults (review-fix regression, caught by driver simulation).
+    presets_due = _frontier_presets_due()
     os.environ.setdefault("NERF_ACCEL_COMPACT", "off")
     # Probe default 128 -> 32 (round 5): the probe-count sweep
     # (128/64/32/16 on three artifacts) left every PSNR axis unchanged —
@@ -551,7 +556,7 @@ def main() -> None:
     # flock (chain legs wait up to NERF_BENCH_LOCK_WAIT=3600s) must not
     # consume the benchmark's own time budget.
     t0 = time.monotonic()
-    if _frontier_presets_due():
+    if presets_due:
         # BEFORE the parent's own backend init: one TPU client at a time.
         _run_frontier_presets(t0)
     init_timeout = float(os.environ.get("NERF_BENCH_INIT_TIMEOUT", "300"))
