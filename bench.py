@@ -417,6 +417,16 @@ _FRONTIER_PRESETS = (
         "NERF_BENCH_ACCEL_AABB": "1",
         "NERF_BENCH_REPEATS": "8",
     }),
+    # Train throughput at the production single-pass distill config —
+    # 1.110 M rays/s fwd+bwd+opt at batch 65536 (r5): the BASELINE.md
+    # >=1 M/chip training target, in the driver-captured record.
+    ("train_student_s64x0_b65536", {
+        "NERF_BENCH_MODE": "train",
+        "NERF_BENCH_ARCH": "128,64",
+        "NERF_BENCH_SAMPLES": "64,0",
+        "NERF_BENCH_TRAIN_RAYS": "65536",
+        "NERF_BENCH_REPEATS": "5",
+    }),
     # Distilled student at the FULL 64+128 headline sampling + lossless
     # probe culling — 1.11-1.15 M rays/s @ 30.1 dB vs teacher (r5).
     ("student30_800q", {
